@@ -1,0 +1,43 @@
+"""overiva_tpu — TPU-native blind source separation framework.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the
+``onolab-tmu/overiva`` reference (WASPAA 2019 OverIVA companion code):
+STFT-domain blind source separation with AuxIVA, OverIVA, OGIVE and
+PCA+AuxIVA, plus the evaluation/simulation harness around them
+(bss_eval metrics, shoebox image-source room simulation, Monte-Carlo sweep).
+
+Public API mirrors the reference (SURVEY.md §2):
+
+    overiva(X, n_src, n_iter, proj_back, W0, model, init_eig,
+            return_filters, callback) -> Y
+    auxiva(...), ogive(...), auxiva_pca(...)
+
+accepting/returning NumPy complex STFT arrays shaped (n_frames, n_freq,
+n_chan), while the hot loop runs as a single fused XLA program on TPU.
+"""
+
+from .version import __version__
+
+__all__ = ["__version__"]
+
+
+def __getattr__(name):
+    # Lazy imports keep `import overiva_tpu` light and avoid importing JAX
+    # for oracle-only / simulation-only use.
+    if name in _API:
+        module = __import__(f"overiva_tpu.{_API[name]}", fromlist=[name])
+        return getattr(module, name)
+    raise AttributeError(f"module 'overiva_tpu' has no attribute {name!r}")
+
+
+_API = {
+    "auxiva": "api",
+    "overiva": "api",
+    "ogive": "api",
+    "auxiva_pca": "api",
+    "pca": "api",
+    "ilrma": "api",
+    "stft_analysis": "api",
+    "stft_synthesis": "api",
+    "projection_back": "api",
+}

@@ -1,0 +1,33 @@
+"""Independent NumPy reference implementations (the parity oracle).
+
+Every algorithm in ``overiva_tpu`` is tested against these implementations
+(SDR/SIR within 0.1 dB per BASELINE.json). They follow the reference repo's
+behavior as specified in SURVEY.md §2.3 and are deliberately written in plain
+NumPy, independent of the JAX code paths.
+"""
+
+from .auxiva import auxiva
+from .auxiva_pca import auxiva_pca, pca
+from .models import EPS, MODELS, activations
+from .ogive import ogive
+from .overiva import overiva
+from .projection import apply_projection_back, projection_back
+from .stft import analysis, hann, stft_pad, synthesis, synthesis_window
+
+__all__ = [
+    "EPS",
+    "MODELS",
+    "activations",
+    "analysis",
+    "apply_projection_back",
+    "auxiva",
+    "auxiva_pca",
+    "hann",
+    "ogive",
+    "overiva",
+    "pca",
+    "projection_back",
+    "stft_pad",
+    "synthesis",
+    "synthesis_window",
+]

@@ -1,0 +1,38 @@
+"""NumPy oracle source models (contrast-function weights).
+
+Reference behavior: ``overiva.py`` / ``pyroomacoustics.bss.auxiva`` source
+models (SURVEY.md §2.3.1). Both the time-invariant spherical Laplace prior and
+the time-varying Gaussian prior share the same iterative-projection update;
+only the per-frame weight ``phi = 1/r`` differs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EPS = 1e-15  # activation floor (SURVEY.md §2.3, VERIFY-flagged exact value)
+
+__all__ = ["EPS", "activations", "MODELS"]
+
+
+def activations(Y: np.ndarray, model: str, eps: float = EPS):
+    """Per-frame source activations ``r`` and weights ``phi = 1/r``.
+
+    Y: (n_frames, n_freq, n_src) complex STFT of current source estimates.
+    Returns (r, phi), each (n_frames, n_src) real.
+
+    laplace: r[t,k] = 2 * sqrt( sum_f |Y[t,f,k]|^2 )
+    gauss:   r[t,k] = ( sum_f |Y[t,f,k]|^2 ) / n_freq
+    """
+    power = np.sum(np.abs(Y) ** 2, axis=1)  # (T, N)
+    if model == "laplace":
+        r = 2.0 * np.sqrt(power)
+    elif model == "gauss":
+        r = power / Y.shape[1]
+    else:
+        raise ValueError(f"unknown source model {model!r}")
+    r = np.maximum(r, eps)
+    return r, 1.0 / r
+
+
+MODELS = ("laplace", "gauss")

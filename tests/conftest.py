@@ -1,0 +1,24 @@
+"""Test configuration: force JAX onto CPU with 8 virtual devices.
+
+Tests never require the real TPU (SURVEY.md §4): numerical/parity tests run on
+CPU with x64 available, and sharding tests use a fake 8-device host mesh via
+``--xla_force_host_platform_device_count=8``. Must run before jax imports.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(12345)
