@@ -1,0 +1,92 @@
+"""bss_eval property tests (SURVEY.md §7.4 hard part #1)."""
+
+import numpy as np
+import pytest
+
+from overiva_tpu.metrics.bss_eval import bss_eval_images, bss_eval_sources
+
+
+@pytest.fixture
+def sources(rng):
+    n = 8000
+    s = rng.laplace(size=(3, n))
+    # distinct coloration
+    for k in range(3):
+        s[k] = np.convolve(s[k], [1.0, 0.4 * (-1) ** k, 0.1 * k], "same")
+    return s
+
+
+def test_perfect_estimate(sources):
+    sdr, sir, sar, perm = bss_eval_sources(sources, sources.copy())
+    assert np.all(sdr > 100)
+    assert np.all(sir > 100)
+    np.testing.assert_array_equal(perm, [0, 1, 2])
+
+
+def test_filtered_estimate_counts_as_target(sources, rng):
+    """A <512-tap filtered ref is allowed distortion under the 512-tap
+    projection (up to a small conv-tail truncation edge effect), but NOT
+    under a 1-tap projection."""
+    h = rng.standard_normal(64) * np.exp(-np.arange(64) / 8)
+    est = np.stack([np.convolve(s, h, "full")[: sources.shape[1]] for s in sources])
+    sdr, sir, sar, perm = bss_eval_sources(sources, est)
+    assert np.all(sdr > 25)
+    np.testing.assert_array_equal(perm, [0, 1, 2])
+    sdr1, *_ = bss_eval_sources(sources, est, filter_length=1)
+    assert np.all(sdr - sdr1 > 20), (sdr, sdr1)
+
+
+def test_noise_sets_sdr(sources, rng):
+    """est = ref + white noise at known SNR -> SDR ~= SNR, SAR ~= SNR, SIR huge."""
+    target_snr = 10.0
+    s0 = sources[:1]
+    noise = rng.standard_normal(s0.shape)
+    noise *= np.linalg.norm(s0) / np.linalg.norm(noise) * 10 ** (-target_snr / 20)
+    est = s0 + noise
+    sdr, sir, sar, _ = bss_eval_sources(s0, est)
+    assert abs(sdr[0] - target_snr) < 1.0
+    assert abs(sar[0] - target_snr) < 1.0
+    assert sir[0] > 100  # single ref: no interference term
+
+
+def test_interference_sets_sir(sources):
+    """est = ref0 + g*ref1 -> SIR ~= -20 log10 g."""
+    g = 10 ** (-15 / 20)  # -15 dB interference
+    est = np.stack([sources[0] + g * sources[1], sources[1], sources[2]])
+    sdr, sir, sar, perm = bss_eval_sources(sources, est)
+    np.testing.assert_array_equal(perm, [0, 1, 2])
+    assert abs(sir[0] - 15.0) < 1.0
+    assert abs(sdr[0] - 15.0) < 1.0
+    assert sar[0] > 60  # mixture of refs only: no artifacts
+
+
+def test_permutation_recovered(sources):
+    est = sources[[2, 0, 1]]
+    sdr, sir, sar, perm = bss_eval_sources(sources, est)
+    np.testing.assert_array_equal(perm, [2, 0, 1])
+    assert np.all(sdr > 100)
+
+
+def test_shape_mismatch_raises(sources):
+    with pytest.raises(ValueError):
+        bss_eval_sources(sources, sources[:2])
+
+
+def test_silent_reference_raises(sources):
+    refs = sources.copy()
+    refs[1] = 0.0
+    with pytest.raises(ValueError):
+        bss_eval_sources(refs, sources)
+
+
+def test_no_permutation_mode(sources):
+    est = sources[[1, 0, 2]]
+    sdr, sir, sar, perm = bss_eval_sources(sources, est, compute_permutation=False)
+    np.testing.assert_array_equal(perm, [0, 1, 2])
+    assert sdr[0] < 10  # mismatched without permutation search
+
+
+def test_images_variant(sources):
+    imgs = np.stack([np.stack([s, 0.5 * s], axis=1) for s in sources])
+    sdr, sir, sar, perm = bss_eval_images(imgs, imgs.copy())
+    assert np.all(sdr > 100)
