@@ -1,0 +1,251 @@
+"""Monte-Carlo room-simulation sweep — mirror of the reference's
+``mbss_sim.py`` (SURVEY.md §3.4): JSON config, cross-product of
+(seed, n_mics, n_src, rt60, snr, algo), per-instance result JSON with
+resume-by-skip, aggregation to a summary table.
+
+    python bench/mbss_sim.py bench/mbss_sim_config.json --out data/sweep1
+    python bench/mbss_sim.py --aggregate data/sweep1
+
+Design differences from the reference, on purpose:
+- The reference fans out with a multiprocessing pool (one CPU per instance);
+  here the TPU separates mixtures sequentially inside fused XLA programs
+  (it is the accelerator; host processes would fight over it), while room
+  simulation and bss_eval remain host-side.
+- Results are one JSON file per instance (append-only dir) instead of one
+  growing dump, so a killed sweep resumes by skipping existing keys
+  (SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from overiva_tpu import api
+from overiva_tpu.metrics import bss_eval_sources
+from overiva_tpu.oracle import stft_pad
+from overiva_tpu.sim import ShoeBox, circular_mic_array, semi_circle_layout, speech_like
+
+DEFAULT_CONFIG = {
+    "repeats": 3,
+    "seed": 12345,
+    "fs": 16000,
+    "duration": 5.0,
+    "nfft": 4096,
+    "room_dim": [8.0, 9.0, 3.0],
+    "rt60": [0.25],
+    "snr": [25.0],
+    "n_mics": [2, 3, 5, 8],
+    "n_srcs": [1, 2, 3],
+    "algos": {
+        "auxiva": {"n_iter": 20},
+        "auxiva-gauss": {"n_iter": 20},
+        "overiva": {"n_iter": 20},
+        "overiva-gauss": {"n_iter": 20},
+        "auxiva_pca": {"n_iter": 20},
+        "ogive": {"n_iter": 2000, "step_size": 0.05, "tol": 1e-3},
+    },
+}
+
+
+def run_algo(name: str, X, n_src: int, params: dict):
+    model = "gauss" if name.endswith("-gauss") else "laplace"
+    base = name.replace("-gauss", "")
+    kw = dict(params)
+    if base == "auxiva":
+        if n_src != X.shape[2]:
+            return None
+        return api.auxiva(X, model=model, **kw)
+    if base == "overiva":
+        return api.overiva(X, n_src=n_src, model=model, **kw)
+    if base == "auxiva_pca":
+        if n_src == X.shape[2]:
+            return None
+        return api.auxiva_pca(X, n_src=n_src, **kw)
+    if base.startswith("ogive"):
+        if n_src != 1:
+            return None
+        update = {"ogive": "demix", "ogive-mix": "mix", "ogive-switching": "switching"}[base]
+        return api.ogive(X, update=update, model=model, **kw)
+    raise ValueError(name)
+
+
+def one_instance(cfg: dict, seed: int, n_mics: int, n_src: int, rt60: float, snr: float):
+    """Simulate one room and run every applicable algorithm."""
+    fs = cfg["fs"]
+    n = int(cfg["duration"] * fs)
+    nfft = cfg["nfft"]
+    hop = nfft // 2
+    rng = np.random.default_rng(seed)
+
+    room = ShoeBox(cfg["room_dim"], fs=fs, rt60=rt60, seed=seed)
+    center = np.asarray(cfg["room_dim"]) / 2
+    src_pos = semi_circle_layout(
+        [center[0], center[1] + 2.0, 1.5], np.pi / 2, 2.5, n_src,
+        rot=rng.uniform(-np.pi, np.pi),
+    )
+    # clamp inside the room
+    src_pos = np.clip(src_pos, 0.3, np.asarray(cfg["room_dim"]) - 0.3)
+    for k in range(n_src):
+        room.add_source(src_pos[k], speech_like(n, fs, seed=seed * 1009 + k))
+    room.add_mic_array(
+        circular_mic_array([center[0], center[1], 1.5], 0.05, n_mics)
+    )
+    premix, noise = room.simulate(return_premix=True, snr=snr)
+    mix = (premix.sum(axis=0) + noise).T
+
+    X = api.stft_analysis(stft_pad(mix, nfft, hop), nfft)
+    refs = premix[:, 0, : mix.shape[0]]
+    sdr_mix, sir_mix, _, _ = bss_eval_sources(
+        refs, np.tile(mix[:, 0], (n_src, 1))
+    ) if n_src > 1 else (np.array([0.0]), np.array([0.0]), None, None)
+
+    results = {}
+    for name, params in cfg["algos"].items():
+        try:
+            t0 = time.perf_counter()
+            Y = run_algo(name, X, n_src, params)
+            if Y is None:
+                continue
+            runtime = time.perf_counter() - t0
+            y = api.stft_synthesis(Y, nfft)[nfft - hop :][: mix.shape[0]]
+            if Y.shape[2] == n_src and n_src > 1:
+                sdr, sir, sar, perm = bss_eval_sources(refs, y.T)
+                results[name] = {
+                    "runtime": runtime,
+                    "sdr": sdr.tolist(),
+                    "sir": sir.tolist(),
+                    "sdr_improvement": (sdr - sdr_mix[perm]).tolist(),
+                    "sir_improvement": (sir - sir_mix[perm]).tolist(),
+                }
+            else:  # single output (ogive or n_src == 1)
+                best = max(
+                    range(refs.shape[0]),
+                    key=lambda j: abs(np.dot(refs[j], y[:, 0])),
+                )
+                pair = (
+                    np.stack([refs[best], refs.sum(0) - refs[best]])
+                    if refs.shape[0] > 1
+                    else refs[:1]
+                )
+                est = (
+                    np.stack([y[:, 0], mix[:, 0] - y[:, 0]])
+                    if refs.shape[0] > 1
+                    else y.T[:1]
+                )
+                sdr, sir, _, _ = bss_eval_sources(pair, est, compute_permutation=False)
+                results[name] = {
+                    "runtime": runtime,
+                    "sdr": [float(sdr[0])],
+                    "sir": [float(sir[0])],
+                }
+        except Exception as e:  # a failed algo shouldn't kill the instance
+            results[name] = {"error": f"{type(e).__name__}: {e}"}
+    return results
+
+
+def instance_key(seed, n_mics, n_src, rt60, snr):
+    return f"s{seed}_m{n_mics}_n{n_src}_rt{rt60}_snr{snr}"
+
+
+def sweep(cfg: dict, out_dir: Path):
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / "config.json").write_text(json.dumps(cfg, indent=2))
+    base = np.random.SeedSequence(cfg["seed"]).generate_state(cfg["repeats"])
+    grid = list(
+        itertools.product(
+            base.tolist(), cfg["n_mics"], cfg["n_srcs"], cfg["rt60"], cfg["snr"]
+        )
+    )
+    done = skipped = 0
+    for seed, n_mics, n_src, rt60, snr in grid:
+        if n_src > n_mics:
+            continue
+        key = instance_key(seed, n_mics, n_src, rt60, snr)
+        path = out_dir / f"{key}.json"
+        if path.exists():  # resume-by-skip
+            skipped += 1
+            continue
+        t0 = time.perf_counter()
+        results = one_instance(cfg, seed, n_mics, n_src, rt60, snr)
+        record = {
+            "seed": seed, "n_mics": n_mics, "n_src": n_src,
+            "rt60": rt60, "snr": snr,
+            "wall": time.perf_counter() - t0, "results": results,
+        }
+        path.write_text(json.dumps(record))
+        done += 1
+        print(f"[{done}] {key}  ({record['wall']:.1f}s)", flush=True)
+    print(f"sweep complete: {done} new, {skipped} skipped (resumed)")
+
+
+def aggregate(out_dir: Path, plot: bool = False):
+    rows = []
+    for f in sorted(out_dir.glob("s*.json")):
+        rec = json.loads(f.read_text())
+        for algo, res in rec["results"].items():
+            if "error" in res:
+                continue
+            rows.append(
+                {
+                    "algo": algo, "n_mics": rec["n_mics"], "n_src": rec["n_src"],
+                    "rt60": rec["rt60"], "snr": rec["snr"],
+                    "sdr": float(np.mean(res["sdr"])),
+                    "sir": float(np.mean(res["sir"])),
+                    "runtime": res["runtime"],
+                }
+            )
+    if not rows:
+        print("no results found")
+        return
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    summary = (
+        df.groupby(["algo", "n_mics", "n_src"])[["sdr", "sir", "runtime"]]
+        .agg(["mean", "std"])
+        .round(2)
+    )
+    print(summary.to_string())
+    summary.to_csv(out_dir / "summary.csv")
+    if plot:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import seaborn as sns
+
+        g = sns.catplot(
+            data=df, x="n_mics", y="sir", hue="algo", col="n_src",
+            kind="box", sharey=False,
+        )
+        g.savefig(out_dir / "sir_vs_mics.png", dpi=120)
+        print(f"plot written to {out_dir/'sir_vs_mics.png'}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("config", nargs="?", default=None)
+    p.add_argument("--out", type=str, default="data/sweep")
+    p.add_argument("--aggregate", type=str, default=None, metavar="DIR")
+    p.add_argument("--plot", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.aggregate:
+        aggregate(Path(args.aggregate), plot=args.plot)
+        return
+    cfg = dict(DEFAULT_CONFIG)
+    if args.config:
+        cfg.update(json.loads(Path(args.config).read_text()))
+    sweep(cfg, Path(args.out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,368 @@
+"""Public reference-mirroring API: NumPy in, NumPy out, TPU inside.
+
+Signatures mirror the reference repo (SURVEY.md §2.1: ``overiva.py``,
+``ive.py``, ``auxiva_pca.py``, ``pyroomacoustics.bss.auxiva`` /
+``transform.stft`` / ``bss.common.projection_back``):
+
+    overiva(X, n_src, n_iter, proj_back, W0, model, init_eig,
+            return_filters, callback) -> Y
+    auxiva(...), ogive(...), auxiva_pca(...), projection_back(Y, ref),
+    stft_analysis / stft_synthesis
+
+Inputs/outputs are NumPy arrays shaped like the reference's
+(``(n_frames, n_freq, n_chan)`` complex STFT). Internally everything runs as
+fused XLA programs; complex values never cross the host<->device boundary
+(the axon TPU backend cannot transfer them) — float planes are merged/split
+by tiny jitted shims.
+
+Callback compatibility (SURVEY.md §7.2): when a ``callback`` is given, the
+run is jitted in chunks of ``callback_every`` epochs; between chunks the
+host receives a projection-back-scaled NumPy copy of Y, exactly like the
+reference's cadence. With ``callback=None`` one XLA program covers all
+epochs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .models import auxiva_pca as _pca_mod
+from .models import ogive as _ogive_mod
+from .models import overiva as _core
+from .ops import projection as _proj
+from .ops import stft as _stft
+from .ops.covariance import covariance as _covariance
+from .utils.packing import merge_np, real_dtype_of, split_np
+
+__all__ = [
+    "auxiva",
+    "overiva",
+    "ogive",
+    "auxiva_pca",
+    "pca",
+    "projection_back",
+    "stft_analysis",
+    "stft_synthesis",
+]
+
+DEFAULT_DTYPE = np.complex64
+
+
+# ---------------------------------------------------------------- boundary
+
+_merge = jax.jit(lambda r, i: r + 1j * i)
+_split = jax.jit(lambda c: (jnp.real(c), jnp.imag(c)))
+
+
+def _to_device(x, cdtype):
+    """Host complex/real ndarray -> device-resident complex array."""
+    re, im = split_np(np.asarray(x), real_dtype_of(cdtype))
+    return _merge(jnp.asarray(re), jnp.asarray(im))
+
+
+def _to_host(c) -> np.ndarray:
+    """Device complex array -> host complex ndarray."""
+    re, im = _split(c)
+    return merge_np(np.asarray(re), np.asarray(im))
+
+
+# ----------------------------------------------------------------- jitted
+
+@partial(jax.jit, static_argnames=("n_src", "init_eig", "need_cx", "has_w0"))
+def _prepare(X, W0, n_src, init_eig, need_cx, has_w0):
+    T, F, M = X.shape
+    Cx = _covariance(X) if (need_cx or init_eig) else jnp.zeros((F, M, M), X.dtype)
+    W_hat = _core.init_w_hat(
+        X, n_src, init_eig, Cx=Cx, W0=W0 if has_w0 else None
+    )
+    return W_hat, Cx
+
+
+@partial(jax.jit, static_argnames=("n_src",))
+def _snapshot(X, W_hat, n_src):
+    """Projection-back-scaled copy of the current estimates (for callbacks)."""
+    Y = _core.demix(X, W_hat[:, :n_src, :])
+    Y = _proj.apply_projection_back(Y, X[:, :, 0])
+    return jnp.real(Y), jnp.imag(Y)
+
+
+@partial(jax.jit, static_argnames=("n_src", "proj_back"))
+def _finalize(X, W_hat, n_src, proj_back):
+    Y = _core.demix(X, W_hat[:, :n_src, :])
+    if proj_back:
+        Y = _proj.apply_projection_back(Y, X[:, :, 0])
+    return jnp.real(Y), jnp.imag(Y)
+
+
+# -------------------------------------------------------------- algorithms
+
+def overiva(
+    X,
+    n_src=None,
+    n_iter=20,
+    proj_back=True,
+    W0=None,
+    model="laplace",
+    init_eig=False,
+    return_filters=False,
+    callback=None,
+    callback_every=10,
+    dtype=None,
+):
+    """OverIVA (AuxIVA when n_src == n_chan). Reference: ``overiva.py``.
+
+    X: (n_frames, n_freq, n_chan) complex ndarray. Returns Y
+    (n_frames, n_freq, n_src) ndarray [, W_hat (n_freq, n_chan, n_chan)].
+    """
+    X = np.asarray(X)
+    T, F, M = X.shape
+    N = M if n_src is None else int(n_src)
+    if not 1 <= N <= M:
+        raise ValueError("need 1 <= n_src <= n_chan")
+    cdtype = np.dtype(dtype or DEFAULT_DTYPE)
+
+    Xd = _to_device(X, cdtype)
+    W0d = _to_device(W0, cdtype) if W0 is not None else Xd[:0]  # placeholder
+    W_hat, Cx = _prepare(Xd, W0d, N, bool(init_eig), N < M, W0 is not None)
+
+    if callback is None:
+        W_hat = _core.overiva_iterations(Xd, W_hat, Cx, N, int(n_iter), model)
+    else:
+        done = 0
+        while done < n_iter:
+            re, im = _snapshot(Xd, W_hat, N)
+            callback(merge_np(np.asarray(re), np.asarray(im)))
+            step = min(callback_every, n_iter - done)
+            W_hat = _core.overiva_iterations(Xd, W_hat, Cx, N, step, model)
+            done += step
+
+    re, im = _finalize(Xd, W_hat, N, bool(proj_back))
+    Y = merge_np(np.asarray(re), np.asarray(im))
+    if return_filters:
+        return Y, _to_host(W_hat)
+    return Y
+
+
+def auxiva(
+    X,
+    n_src=None,
+    n_iter=20,
+    proj_back=True,
+    W0=None,
+    model="laplace",
+    return_filters=False,
+    callback=None,
+    callback_every=10,
+    dtype=None,
+):
+    """Determined AuxIVA. Reference: ``pyroomacoustics.bss.auxiva``."""
+    X = np.asarray(X)
+    M = X.shape[2]
+    N = M if n_src is None else int(n_src)
+    if N != M:
+        raise ValueError("auxiva is determined: n_src must equal n_chan")
+    return overiva(
+        X,
+        n_src=N,
+        n_iter=n_iter,
+        proj_back=proj_back,
+        W0=W0,
+        model=model,
+        init_eig=False,
+        return_filters=return_filters,
+        callback=callback,
+        callback_every=callback_every,
+        dtype=dtype,
+    )
+
+
+@partial(jax.jit, static_argnames=("n_src", "return_basis"))
+def _pca_jit(X, n_src, return_basis):
+    out = _pca_mod.pca(X, n_src, return_basis)
+    if return_basis:
+        Xr, E = out
+        return jnp.real(Xr), jnp.imag(Xr), jnp.real(E), jnp.imag(E)
+    return jnp.real(out), jnp.imag(out)
+
+
+def pca(X, n_src, return_basis=False, dtype=None):
+    """Per-bin principal-subspace reduction. Reference: ``auxiva_pca.pca``."""
+    cdtype = np.dtype(dtype or DEFAULT_DTYPE)
+    Xd = _to_device(np.asarray(X), cdtype)
+    if return_basis:
+        rr, ri, er, ei = _pca_jit(Xd, int(n_src), True)
+        return merge_np(np.asarray(rr), np.asarray(ri)), merge_np(
+            np.asarray(er), np.asarray(ei)
+        )
+    rr, ri = _pca_jit(Xd, int(n_src), False)
+    return merge_np(np.asarray(rr), np.asarray(ri))
+
+
+def auxiva_pca(
+    X,
+    n_src=None,
+    n_iter=20,
+    proj_back=True,
+    model="laplace",
+    return_filters=False,
+    callback=None,
+    callback_every=10,
+    dtype=None,
+):
+    """PCA to n_src dims then determined AuxIVA; projection back against the
+    ORIGINAL mic 0. Reference: ``auxiva_pca.py``."""
+    X = np.asarray(X)
+    T, F, M = X.shape
+    N = M if n_src is None else int(n_src)
+    X_r = pca(X, N, dtype=dtype) if N < M else X
+
+    res = auxiva(
+        X_r,
+        n_src=N,
+        n_iter=n_iter,
+        proj_back=False,
+        model=model,
+        return_filters=return_filters,
+        callback=callback,
+        callback_every=callback_every,
+        dtype=dtype,
+    )
+    Y, W = res if return_filters else (res, None)
+
+    if proj_back:
+        z = projection_back(Y, X[:, :, 0])
+        Y = Y * np.conj(z)[None, :, :]
+    if return_filters:
+        return Y, W
+    return Y
+
+
+def ogive(
+    X,
+    n_iter=4000,
+    step_size=0.1,
+    tol=1e-3,
+    update="demix",
+    proj_back=True,
+    model="laplace",
+    init_eig=False,
+    return_filters=False,
+    callback=None,
+    callback_every=100,
+    switch_every=10,
+    dtype=None,
+):
+    """OGIVE single-source extraction. Reference: ``ive.py``.
+
+    Returns Y (n_frames, n_freq, 1) [, w (n_freq, n_chan)].
+    """
+    if update not in ("demix", "mix", "switching"):
+        raise ValueError(f"unknown update mode {update!r}")
+    X = np.asarray(X)
+    cdtype = np.dtype(dtype or DEFAULT_DTYPE)
+    rdtype = real_dtype_of(cdtype)
+    Xd = _to_device(X, cdtype)
+
+    w, a, Cx, Cx_inv = _ogive_init_jit(Xd, bool(init_eig))
+    use_mix = jnp.zeros((X.shape[1],), bool)
+    mu = jnp.asarray(step_size, rdtype)
+    tolj = jnp.asarray(tol, rdtype)
+
+    epoch = jnp.asarray(0, jnp.int32)
+    if callback is None:
+        w, a, use_mix, epoch, done = _ogive_mod.ogive_iterations(
+            Xd, w, a, use_mix, Cx, Cx_inv, epoch, mu, tolj,
+            int(n_iter), model, update, int(switch_every),
+        )
+    else:
+        remaining = int(n_iter)
+        while remaining > 0:
+            re, im = _ogive_snapshot(Xd, w)
+            callback(merge_np(np.asarray(re), np.asarray(im)))
+            step = min(int(callback_every), remaining)
+            w, a, use_mix, epoch, done = _ogive_mod.ogive_iterations(
+                Xd, w, a, use_mix, Cx, Cx_inv, epoch, mu, tolj,
+                step, model, update, int(switch_every),
+            )
+            remaining -= step
+            if bool(np.asarray(done)):
+                break
+
+    re, im = _ogive_finalize(Xd, w, bool(proj_back))
+    Y = merge_np(np.asarray(re), np.asarray(im))
+    if return_filters:
+        return Y, _to_host(w)
+    return Y
+
+
+@partial(jax.jit, static_argnames=("init_eig",))
+def _ogive_init_jit(X, init_eig):
+    return _ogive_mod.ogive_init(X, init_eig)
+
+
+@jax.jit
+def _ogive_snapshot(X, w):
+    Y = _ogive_mod.ogive_demix(X, w)[:, :, None]
+    Y = _proj.apply_projection_back(Y, X[:, :, 0])
+    return jnp.real(Y), jnp.imag(Y)
+
+
+@partial(jax.jit, static_argnames=("proj_back",))
+def _ogive_finalize(X, w, proj_back):
+    Y = _ogive_mod.ogive_demix(X, w)[:, :, None]
+    if proj_back:
+        Y = _proj.apply_projection_back(Y, X[:, :, 0])
+    return jnp.real(Y), jnp.imag(Y)
+
+
+# ----------------------------------------------------------------- frontend
+
+def projection_back(Y, ref):
+    """Minimal-distortion rescale factors z (host NumPy; tiny op).
+
+    Reference: ``pyroomacoustics.bss.common.projection_back``. The caller
+    applies ``Y *= conj(z)[None]`` — same convention as the reference.
+    """
+    from .oracle.projection import projection_back as _pb
+
+    return _pb(np.asarray(Y), np.asarray(ref))
+
+
+def stft_analysis(x, nfft, hop=None, win=None, dtype=None):
+    """Time signal (n_samples[, M]) -> complex STFT (T, nfft//2+1[, M])."""
+    hop = hop or nfft // 2
+    x = np.asarray(x)
+    rdtype = real_dtype_of(np.dtype(dtype or DEFAULT_DTYPE))
+    re, im = _stft_analysis_jit(jnp.asarray(x.astype(rdtype)), int(nfft), int(hop))
+    return merge_np(np.asarray(re), np.asarray(im))
+
+
+def stft_synthesis(X, nfft, hop=None, win_s=None, dtype=None):
+    """Complex STFT -> time signal via weighted overlap-add."""
+    hop = hop or nfft // 2
+    cdtype = np.dtype(dtype or DEFAULT_DTYPE)
+    Xd = _to_device(np.asarray(X), cdtype)
+    y = _stft_synthesis_jit(Xd, int(nfft), int(hop))
+    return np.asarray(y)
+
+
+@partial(jax.jit, static_argnames=("nfft", "hop"))
+def _stft_analysis_jit(x, nfft, hop):
+    X = _stft.analysis(x, nfft, hop)
+    return jnp.real(X), jnp.imag(X)
+
+
+@partial(jax.jit, static_argnames=("nfft", "hop"))
+def _stft_synthesis_jit(X, nfft, hop):
+    return _stft.synthesis(X, nfft, hop)
+
+
+def ilrma(*args, **kwargs):
+    raise NotImplementedError(
+        "ilrma is scheduled (SURVEY.md §7.3 M6); use auxiva/overiva meanwhile"
+    )

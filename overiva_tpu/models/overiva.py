@@ -1,0 +1,144 @@
+"""OverIVA / AuxIVA core — fused JAX iteration (trace-side).
+
+TPU-native re-design of the reference's ``overiva.py`` hot loop (SURVEY.md
+§2.3.2-3, §3.2): the whole run is ONE XLA program — ``lax.fori_loop`` over
+epochs, a statically-unrolled loop over the (few) sources, and all
+per-frequency linear algebra batched over bins. The reference pays Python
+dispatch per source per epoch and materializes (T,F,M,M) intermediates;
+here XLA fuses the phi-weighting into the covariance matmul and keeps
+everything on-chip.
+
+All functions are trace-side (complex in/out, jit-safe). The public
+numpy-in/out API with callbacks lives in ``overiva_tpu.api``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.covariance import covariance, weighted_covariance
+from ..ops.linalg import PRECISION, eigh, mat_h, solve_mat, solve_vec
+from .source_models import activations_from_power, power
+
+__all__ = [
+    "demix",
+    "init_w_hat",
+    "overiva_iterations",
+    "overiva_run",
+]
+
+
+def demix(X, W1):
+    """Y[t,f,n] = sum_m W1[f,n,m] X[t,f,m]."""
+    return jnp.einsum("fnm,tfm->tfn", W1, X, precision=PRECISION)
+
+
+def _update_J(W_hat, Cx, n_src: int):
+    """Re-impose the orthogonal constraint (SURVEY.md §2.3.3):
+    J = solve(tmp[:,:,:N], tmp[:,:,N:])^H with tmp = W1 @ Cx."""
+    N = n_src
+    W1 = W_hat[:, :N, :]
+    tmp = jnp.matmul(W1, Cx, precision=PRECISION)  # (F, N, M)
+    J_H = solve_mat(tmp[:, :, :N], tmp[:, :, N:])  # (F, N, M-N)
+    return W_hat.at[:, N:, :N].set(mat_h(J_H))
+
+
+def init_w_hat(X, n_src: int, init_eig: bool, Cx=None, W0=None, dtype=None):
+    """Initial structured demixing matrix W_hat (F, M, M).
+
+    Identity target rows (or W0 rows, or top-eigenvector rows when
+    ``init_eig``), [J, -I] background block, OC imposed once.
+    """
+    T, F, M = X.shape
+    N = n_src
+    dtype = dtype or X.dtype
+    W_hat = jnp.tile(jnp.eye(M, dtype=dtype), (F, 1, 1))
+    if N < M:
+        W_hat = W_hat.at[:, N:, N:].set(-jnp.eye(M - N, dtype=dtype))
+
+    if W0 is not None:
+        W_hat = W_hat.at[:, :N, :].set(W0[:, :N, :] if W0.shape[1] == M else W0)
+    elif init_eig:
+        if Cx is None:
+            Cx = covariance(X)
+        _, vecs = eigh(Cx)  # ascending
+        top = vecs[:, :, ::-1][:, :, :N]  # (F, M, N)
+        W_hat = W_hat.at[:, :N, :].set(mat_h(top))
+
+    if N < M:
+        if Cx is None:
+            Cx = covariance(X)
+        W_hat = _update_J(W_hat, Cx, N)
+    return W_hat
+
+
+def _epoch(
+    X, W_hat, Cx, n_src: int, model: str, axis_name=None, n_freq=None, bin_mask=None
+):
+    """One OverIVA/AuxIVA epoch: weights + N iterative-projection updates.
+
+    ``axis_name``: when bins are sharded over a mesh axis, the per-frame
+    power is psum'd over it — the only cross-shard collective (SURVEY.md
+    §5.8). ``n_freq``: global bin count (needed by the gauss model when
+    sharded); defaults to the local F. ``bin_mask`` zeroes padded bins'
+    power contribution on sharded runs.
+    """
+    T, F, M = X.shape
+    N = n_src
+    Y = demix(X, W_hat[:, :N, :])
+    pw = power(Y, bin_mask)  # (T, N) — partial when sharded
+    if axis_name is not None:
+        pw = lax.psum(pw, axis_name)
+    _, phi = activations_from_power(pw, n_freq or F, model)
+
+    for k in range(N):  # static unroll — IP updates are order-dependent
+        V = weighted_covariance(X, phi[:, k])  # (F, M, M)
+        WV = jnp.matmul(W_hat, V, precision=PRECISION)
+        e_k = jnp.zeros((M,), X.dtype).at[k].set(1.0)
+        w = solve_vec(WV, jnp.broadcast_to(e_k, (F, M)))  # (F, M)
+        denom = jnp.einsum(
+            "fm,fmn,fn->f", jnp.conj(w), V, w, precision=PRECISION
+        )
+        w = w / jnp.sqrt(jnp.real(denom)).astype(w.real.dtype)[:, None]
+        W_hat = W_hat.at[:, k, :].set(jnp.conj(w))
+        if N < M:
+            W_hat = _update_J(W_hat, Cx, N)
+    return W_hat
+
+
+@partial(
+    jax.jit, static_argnames=("n_src", "n_iter", "model", "axis_name", "n_freq")
+)
+def overiva_iterations(
+    X,
+    W_hat,
+    Cx,
+    n_src: int,
+    n_iter: int,
+    model: str,
+    axis_name=None,
+    n_freq=None,
+    bin_mask=None,
+):
+    """Run ``n_iter`` fused epochs. X: (T,F,M); W_hat: (F,M,M); Cx: (F,M,M)."""
+    return lax.fori_loop(
+        0,
+        n_iter,
+        lambda _, W: _epoch(X, W, Cx, n_src, model, axis_name, n_freq, bin_mask),
+        W_hat,
+        unroll=False,
+    )
+
+
+def overiva_run(X, n_src, n_iter, model, init_eig=False, W0=None):
+    """Trace-side convenience: init + iterate + demix. Returns (Y, W_hat)."""
+    T, F, M = X.shape
+    Cx = covariance(X) if n_src < M or init_eig else jnp.zeros((F, M, M), X.dtype)
+    W_hat = init_w_hat(X, n_src, init_eig, Cx=Cx, W0=W0)
+    W_hat = overiva_iterations(X, W_hat, Cx, n_src, n_iter, model)
+    Y = demix(X, W_hat[:, :n_src, :])
+    return Y, W_hat

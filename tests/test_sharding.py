@@ -1,0 +1,55 @@
+"""Multi-device (fake 8-device CPU mesh) sharding tests (SURVEY.md §4):
+bin-sharded + mixture-sharded execution must match the single-device path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from overiva_tpu import api
+from overiva_tpu.parallel.mesh import make_mesh
+from overiva_tpu.parallel.sharded import sharded_overiva
+
+from helpers import make_mixture, stft_mixture
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rngs = [np.random.default_rng(s) for s in (5, 6)]
+    Xs = []
+    for rng in rngs:
+        mix, _, _ = make_mixture(rng, n_src=2, n_mics=4, n_samples=12000, snr_db=20)
+        Xs.append(stft_mixture(mix, nfft=256))
+    return np.stack(Xs)  # (2, T, 129, 4)
+
+
+def _run_sharded(batch_np, mesh, n_iter=5):
+    Xd = jnp.asarray(batch_np)  # CPU: complex transfer is fine
+    Y = sharded_overiva(mesh, Xd, n_src=2, n_iter=n_iter)
+    return np.asarray(Y)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4), (2, 1)])
+def test_sharded_matches_single_device(batch, mesh_shape):
+    assert len(jax.devices()) >= mesh_shape[0] * mesh_shape[1]
+    mesh = make_mesh(*mesh_shape, devices=jax.devices()[: mesh_shape[0] * mesh_shape[1]])
+    Ys = _run_sharded(batch, mesh)
+    for b in range(batch.shape[0]):
+        Yref = api.overiva(batch[b], n_src=2, n_iter=5, dtype=np.complex128)
+        np.testing.assert_allclose(Ys[b], Yref, rtol=1e-6, atol=1e-8)
+
+
+def test_bin_padding_roundtrip(batch):
+    """129 bins over 8 shards needs padding to 136; output must be sliced
+    back and identical in the real bins."""
+    mesh = make_mesh(1, 8)
+    Y = _run_sharded(batch, mesh)
+    assert Y.shape == (2, batch.shape[1], 129, 2)
+    assert np.all(np.isfinite(Y))
+
+
+def test_mix_axis_requires_divisible_batch(batch):
+    mesh = make_mesh(8, 1)
+    with pytest.raises(ValueError):
+        _run_sharded(batch, mesh)  # B=2 not divisible by 8
