@@ -51,6 +51,7 @@ DEFAULT_CONFIG = {
         "overiva": {"n_iter": 20},
         "overiva-gauss": {"n_iter": 20},
         "auxiva_pca": {"n_iter": 20},
+        "ilrma": {"n_iter": 30, "n_components": 2},
         "ogive": {"n_iter": 2000, "step_size": 0.05, "tol": 1e-3},
     },
 }
@@ -70,6 +71,10 @@ def run_algo(name: str, X, n_src: int, params: dict):
         if n_src == X.shape[2]:
             return None
         return api.auxiva_pca(X, n_src=n_src, **kw)
+    if base == "ilrma":
+        if n_src != X.shape[2]:
+            return None
+        return api.ilrma(X, **kw)
     if base.startswith("ogive"):
         if n_src != 1:
             return None

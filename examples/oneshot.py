@@ -35,6 +35,7 @@ ALGOS = [
     "overiva",
     "overiva-gauss",
     "auxiva_pca",
+    "ilrma",
     "ogive",
     "ogive-mix",
     "ogive-switching",
@@ -50,6 +51,8 @@ def separate(algo: str, X: np.ndarray, n_src: int, n_iter: int, callback=None):
         return api.overiva(X, n_src=n_src, n_iter=n_iter, model=model, callback=callback)
     if algo == "auxiva_pca":
         return api.auxiva_pca(X, n_src=n_src, n_iter=n_iter, callback=callback)
+    if algo == "ilrma":
+        return api.ilrma(X, n_iter=n_iter, callback=callback)
     if algo.startswith("ogive"):
         update = {"ogive": "demix", "ogive-mix": "mix", "ogive-switching": "switching"}[algo]
         return api.ogive(X, n_iter=max(n_iter, 1000), step_size=0.05,

@@ -362,7 +362,61 @@ def _stft_synthesis_jit(X, nfft, hop):
     return _stft.synthesis(X, nfft, hop)
 
 
-def ilrma(*args, **kwargs):
-    raise NotImplementedError(
-        "ilrma is scheduled (SURVEY.md §7.3 M6); use auxiva/overiva meanwhile"
-    )
+def ilrma(
+    X,
+    n_src=None,
+    n_iter=20,
+    proj_back=True,
+    W0=None,
+    n_components=2,
+    return_filters=False,
+    callback=None,
+    callback_every=10,
+    seed=0,
+    dtype=None,
+):
+    """ILRMA (determined, NMF source model). Reference:
+    ``pyroomacoustics.bss.ilrma``. NMF init matches the oracle: one
+    ``default_rng(seed).random`` draw each for basis and activations."""
+    from .models.ilrma import ilrma_iterations
+
+    X = np.asarray(X)
+    T, F, M = X.shape
+    N = M if n_src is None else int(n_src)
+    if N != M:
+        raise ValueError("ilrma is determined: n_src must equal n_chan")
+    cdtype = np.dtype(dtype or DEFAULT_DTYPE)
+    rdtype = real_dtype_of(cdtype)
+
+    rng = np.random.default_rng(seed)
+    B = (rng.random((N, F, n_components)) + 0.1).astype(rdtype)
+    H = (rng.random((N, n_components, T)) + 0.1).astype(rdtype)
+
+    Xd = _to_device(X, cdtype)
+    if W0 is not None:
+        W = _to_device(W0, cdtype)
+    else:
+        W = _eye_like(Xd, M)
+
+    Bd, Hd = jnp.asarray(B), jnp.asarray(H)
+    if callback is None:
+        W, Bd, Hd = ilrma_iterations(Xd, W, Bd, Hd, int(n_iter))
+    else:
+        done = 0
+        while done < n_iter:
+            re, im = _snapshot(Xd, W, N)
+            callback(merge_np(np.asarray(re), np.asarray(im)))
+            step = min(callback_every, n_iter - done)
+            W, Bd, Hd = ilrma_iterations(Xd, W, Bd, Hd, step)
+            done += step
+
+    re, im = _finalize(Xd, W, N, bool(proj_back))
+    Y = merge_np(np.asarray(re), np.asarray(im))
+    if return_filters:
+        return Y, _to_host(W)
+    return Y
+
+
+@partial(jax.jit, static_argnames=("m",))
+def _eye_like(X, m):
+    return jnp.tile(jnp.eye(m, dtype=X.dtype), (X.shape[1], 1, 1))

@@ -16,7 +16,12 @@ from jax import lax
 
 from .linalg import PRECISION
 
-__all__ = ["covariance", "weighted_covariance", "weighted_covariance_chunked"]
+__all__ = [
+    "covariance",
+    "weighted_covariance",
+    "weighted_covariance_tf",
+    "weighted_covariance_chunked",
+]
 
 
 def covariance(X):
@@ -34,6 +39,16 @@ def weighted_covariance(X, phi):
     return (
         jnp.einsum("tfm,tfn->fmn", Xw, jnp.conj(X), precision=PRECISION) / T
     )
+
+
+def weighted_covariance_tf(X, w_tf):
+    """Per-(t,f) weighted covariance (ILRMA): V[f] = (1/T) sum_t w[t,f] x x^H.
+
+    X: (T, F, M), w_tf: (T, F) -> (F, M, M).
+    """
+    T = X.shape[0]
+    Xw = X * w_tf[:, :, None].astype(X.real.dtype)
+    return jnp.einsum("tfm,tfn->fmn", Xw, jnp.conj(X), precision=PRECISION) / T
 
 
 def weighted_covariance_chunked(X, phi, chunk: int = 256):

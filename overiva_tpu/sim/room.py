@@ -54,6 +54,7 @@ def shoebox_rir(
     c: float = C_SOUND,
     frac_len: int = 81,
     extra_samples: int = 64,
+    use_native: bool | None = None,
 ) -> np.ndarray:
     """RIR between one source and one microphone via the image-source method.
 
@@ -61,7 +62,20 @@ def shoebox_rir(
     ``|2n-1|`` (p=1) reflections; amplitude = rho^reflections / (4 pi dist),
     rho = sqrt(1 - absorption). Total reflection order is pruned at
     ``max_order``. Each image injects a windowed-sinc fractional delay.
+
+    Dispatches to the native C++ engine (``native/rir.cpp``) when available;
+    ``use_native=False`` forces the NumPy path (same math).
     """
+    if use_native is not False:
+        from ._native import native_shoebox_rir
+
+        rir = native_shoebox_rir(
+            room_dim, src, mic, fs, absorption, max_order, c, frac_len, extra_samples
+        )
+        if rir is not None:
+            return rir
+        if use_native is True:
+            raise RuntimeError("native RIR engine unavailable")
     L = np.asarray(room_dim, np.float64)
     s = np.asarray(src, np.float64)
     m = np.asarray(mic, np.float64)
