@@ -32,6 +32,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from overiva_tpu import api
 from overiva_tpu.metrics import bss_eval_sources
 from overiva_tpu.oracle import stft_pad
+from overiva_tpu.registry import applicable, get_algorithm
 from overiva_tpu.sim import ShoeBox, circular_mic_array, semi_circle_layout, speech_like
 
 DEFAULT_CONFIG = {
@@ -58,29 +59,9 @@ DEFAULT_CONFIG = {
 
 
 def run_algo(name: str, X, n_src: int, params: dict):
-    model = "gauss" if name.endswith("-gauss") else "laplace"
-    base = name.replace("-gauss", "")
-    kw = dict(params)
-    if base == "auxiva":
-        if n_src != X.shape[2]:
-            return None
-        return api.auxiva(X, model=model, **kw)
-    if base == "overiva":
-        return api.overiva(X, n_src=n_src, model=model, **kw)
-    if base == "auxiva_pca":
-        if n_src == X.shape[2]:
-            return None
-        return api.auxiva_pca(X, n_src=n_src, **kw)
-    if base == "ilrma":
-        if n_src != X.shape[2]:
-            return None
-        return api.ilrma(X, **kw)
-    if base.startswith("ogive"):
-        if n_src != 1:
-            return None
-        update = {"ogive": "demix", "ogive-mix": "mix", "ogive-switching": "switching"}[base]
-        return api.ogive(X, update=update, model=model, **kw)
-    raise ValueError(name)
+    if not applicable(name, n_src, X.shape[2]):
+        return None
+    return get_algorithm(name)(X, n_src=n_src, **params)
 
 
 def one_instance(cfg: dict, seed: int, n_mics: int, n_src: int, rt60: float, snr: float):

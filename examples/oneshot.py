@@ -29,35 +29,19 @@ from overiva_tpu.sim import (
     speech_like,
 )
 
-ALGOS = [
-    "auxiva",
-    "auxiva-gauss",
-    "overiva",
-    "overiva-gauss",
-    "auxiva_pca",
-    "ilrma",
-    "ogive",
-    "ogive-mix",
-    "ogive-switching",
-]
+from overiva_tpu.registry import ALGORITHMS, get_algorithm
+
+ALGOS = sorted(ALGORITHMS)
 
 
 def separate(algo: str, X: np.ndarray, n_src: int, n_iter: int, callback=None):
-    if algo in ("auxiva", "auxiva-gauss"):
-        model = "gauss" if algo.endswith("gauss") else "laplace"
-        return api.auxiva(X, n_iter=n_iter, model=model, callback=callback)
-    if algo in ("overiva", "overiva-gauss"):
-        model = "gauss" if algo.endswith("gauss") else "laplace"
-        return api.overiva(X, n_src=n_src, n_iter=n_iter, model=model, callback=callback)
-    if algo == "auxiva_pca":
-        return api.auxiva_pca(X, n_src=n_src, n_iter=n_iter, callback=callback)
-    if algo == "ilrma":
-        return api.ilrma(X, n_iter=n_iter, callback=callback)
-    if algo.startswith("ogive"):
-        update = {"ogive": "demix", "ogive-mix": "mix", "ogive-switching": "switching"}[algo]
-        return api.ogive(X, n_iter=max(n_iter, 1000), step_size=0.05,
-                         update=update, callback=callback)
-    raise ValueError(algo)
+    spec = get_algorithm(algo)
+    kw = {"callback": callback}
+    if spec.single_output:
+        kw.update(n_iter=max(n_iter, 1000), step_size=0.05)
+    else:
+        kw.update(n_iter=n_iter)
+    return spec(X, n_src=n_src, **kw)
 
 
 def main(argv=None):

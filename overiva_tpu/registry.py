@@ -1,0 +1,95 @@
+"""Algorithm registry: name -> runner, mirroring the reference's CLI names.
+
+The reference exposes algorithm choice as strings (``example.py --algo``,
+per-algo kwargs in ``mbss_sim_config.json`` — SURVEY.md §5.6). This registry
+is the single dispatch point shared by the demo CLI, the sweep driver, and
+user code:
+
+    from overiva_tpu.registry import get_algorithm, ALGORITHMS
+    Y = get_algorithm("overiva-gauss")(X, n_src=2, n_iter=20)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from . import api
+
+__all__ = ["AlgorithmSpec", "ALGORITHMS", "get_algorithm", "applicable"]
+
+
+@dataclass(frozen=True)
+class AlgorithmSpec:
+    """One separation algorithm variant.
+
+    determined: requires n_src == n_chan. single_output: always extracts one
+    source. defaults: reference-matching default kwargs.
+    """
+
+    name: str
+    run: Callable
+    determined: bool = False
+    single_output: bool = False
+    defaults: dict = field(default_factory=dict)
+
+    def __call__(self, X, n_src=None, **kw):
+        params = {**self.defaults, **kw}
+        if self.single_output:
+            return self.run(X, **params)
+        if self.determined:
+            return self.run(X, n_src=n_src, **params)
+        return self.run(X, n_src=n_src, **params)
+
+
+def _gauss(fn):
+    def run(X, **kw):
+        kw.setdefault("model", "gauss")
+        return fn(X, **kw)
+
+    return run
+
+
+ALGORITHMS: dict[str, AlgorithmSpec] = {
+    s.name: s
+    for s in [
+        AlgorithmSpec("auxiva", api.auxiva, determined=True,
+                      defaults={"n_iter": 20}),
+        AlgorithmSpec("auxiva-gauss", _gauss(api.auxiva), determined=True,
+                      defaults={"n_iter": 20}),
+        AlgorithmSpec("overiva", api.overiva, defaults={"n_iter": 20}),
+        AlgorithmSpec("overiva-gauss", _gauss(api.overiva),
+                      defaults={"n_iter": 20}),
+        AlgorithmSpec("auxiva_pca", api.auxiva_pca, defaults={"n_iter": 20}),
+        AlgorithmSpec("ilrma", api.ilrma, determined=True,
+                      defaults={"n_iter": 30, "n_components": 2}),
+        AlgorithmSpec("ogive", api.ogive, single_output=True,
+                      defaults={"n_iter": 4000, "step_size": 0.1,
+                                "tol": 1e-3, "update": "demix"}),
+        AlgorithmSpec("ogive-mix", api.ogive, single_output=True,
+                      defaults={"n_iter": 4000, "step_size": 0.1,
+                                "tol": 1e-3, "update": "mix"}),
+        AlgorithmSpec("ogive-switching", api.ogive, single_output=True,
+                      defaults={"n_iter": 4000, "step_size": 0.1,
+                                "tol": 1e-3, "update": "switching"}),
+    ]
+}
+
+
+def get_algorithm(name: str) -> AlgorithmSpec:
+    try:
+        return ALGORITHMS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown algorithm {name!r}; available: {sorted(ALGORITHMS)}"
+        ) from None
+
+
+def applicable(name: str, n_src: int, n_chan: int) -> bool:
+    """Whether this algorithm applies to an (n_src, n_chan) configuration."""
+    spec = get_algorithm(name)
+    if spec.single_output:
+        return n_src == 1
+    if spec.determined:
+        return n_src == n_chan
+    return n_src <= n_chan
