@@ -18,7 +18,7 @@ from jax import lax
 
 from ..ops.covariance import covariance
 from ..ops.linalg import PRECISION, eigh, matvec, small_inv
-from .source_models import activations
+from .source_models import activations_from_power, power
 
 __all__ = ["ogive_init", "ogive_iterations", "ogive_demix"]
 
@@ -66,7 +66,10 @@ def ogive_demix(X, w):
 
 @partial(
     jax.jit,
-    static_argnames=("n_iter", "model", "update", "switch_every"),
+    static_argnames=(
+        "n_iter", "model", "update", "switch_every", "axis_name", "n_freq",
+        "done_pvary_axes",
+    ),
 )
 def ogive_iterations(
     X,
@@ -82,12 +85,20 @@ def ogive_iterations(
     model: str,
     update: str,
     switch_every: int = 10,
+    axis_name=None,
+    n_freq=None,
+    bin_mask=None,
+    done_pvary_axes: tuple = (),
 ):
     """Run up to ``n_iter`` more epochs (counting from ``epoch0``), stopping
     early when ``step_size * max_f ||step||/||w|| < tol``.
 
     Returns (w, a, use_mix, epoch, done). Chunk-resumable for callbacks: pass
     the returned state back in with a larger n_iter budget.
+
+    ``axis_name``/``n_freq``/``bin_mask``: bin-sharded execution — the
+    per-frame power is psum'd and the convergence max is pmax'd over the
+    mesh axis; padded bins are masked out of both (SURVEY.md §2.4).
     """
     T, F, M = X.shape
     limit = epoch0 + n_iter
@@ -107,7 +118,10 @@ def ogive_iterations(
             )
 
         y = ogive_demix(X, w)
-        _, phi = activations(y[:, :, None], model)  # (T, 1)
+        pw = power(y[:, :, None], bin_mask)  # (T, 1) — partial when sharded
+        if axis_name is not None:
+            pw = lax.psum(pw, axis_name)
+        _, phi = activations_from_power(pw, n_freq or F, model)  # (T, 1)
         wy = phi[:, 0].astype(y.real.dtype)[:, None] * jnp.conj(y)
         xi = jnp.einsum("tf,tfm->fm", wy, X, precision=PRECISION) / T
         nu = jnp.maximum(
@@ -140,11 +154,20 @@ def ogive_iterations(
                 jnp.linalg.norm(resid, axis=1),
             )
 
-        rel = jnp.max(
-            step_norm / jnp.maximum(jnp.linalg.norm(w_new, axis=1), 1e-30)
-        )
+        rel_f = step_norm / jnp.maximum(jnp.linalg.norm(w_new, axis=1), 1e-30)
+        if bin_mask is not None:
+            rel_f = rel_f * bin_mask.astype(rel_f.dtype)
+        rel = jnp.max(rel_f)
+        if axis_name is not None:
+            rel = lax.pmax(rel, axis_name)
         done = mu.real * rel < tol
         return (w_new, a_new, use_mix, epoch + 1, done)
 
-    state = (w, a, use_mix, epoch0, jnp.asarray(False))
+    done0 = jnp.asarray(False)
+    if done_pvary_axes:
+        # under shard_map the loop-exit flag is collective-computed (pmax over
+        # the bins axis) and therefore varies over the remaining mesh axes;
+        # the initial carry must carry the same varying-axes type.
+        done0 = lax.pcast(done0, done_pvary_axes, to="varying")
+    state = (w, a, use_mix, epoch0, done0)
     return lax.while_loop(cond, body, state)

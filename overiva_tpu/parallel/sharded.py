@@ -26,13 +26,13 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
+from ..models import ogive as _ogive
 from ..models import overiva as _core
-from ..models.source_models import activations_from_power, power
 from ..ops import projection as _proj
 from ..ops.covariance import covariance
 from .mesh import AXIS_BINS, AXIS_MIX
 
-__all__ = ["pad_bins", "sharded_overiva"]
+__all__ = ["pad_bins", "sharded_overiva", "sharded_ogive"]
 
 
 def pad_bins(F: int, n_shards: int):
@@ -89,6 +89,91 @@ def _sharded_overiva_padded(
         return jax.vmap(sep)(Xl)
 
     return run(X, bin_mask)
+
+
+def _extract_one(X, bin_mask, n_iter, step_size, tol, model, update,
+                 switch_every, n_freq_total, proj_back):
+    """Per-shard, per-mixture OGIVE on the local bin slice."""
+    T, Fl, M = X.shape
+    w, a, Cx, Cx_inv = _ogive.ogive_init(X, init_eig=False)
+    mesh_axes = (AXIS_MIX, AXIS_BINS)
+    # constant-initialized carries must be typed varying over the mesh axes
+    # before entering the while_loop (its body makes them data-dependent)
+    w = jax.lax.pcast(w, mesh_axes, to="varying")
+    use_mix = jax.lax.pcast(jnp.zeros((Fl,), bool), mesh_axes, to="varying")
+    w, a, use_mix, epoch, done = _ogive.ogive_iterations(
+        X, w, a, use_mix, Cx, Cx_inv,
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(step_size, X.real.dtype),
+        jnp.asarray(tol, X.real.dtype),
+        n_iter, model, update, switch_every,
+        axis_name=AXIS_BINS, n_freq=n_freq_total, bin_mask=bin_mask,
+        done_pvary_axes=(AXIS_MIX,),
+    )
+    Y = _ogive.ogive_demix(X, w)[:, :, None]
+    if proj_back:
+        Y = _proj.apply_projection_back(Y, X[:, :, 0])
+    return Y
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "n_iter", "model", "update", "switch_every", "proj_back", "n_freq_total"
+    ),
+)
+def _sharded_ogive_padded(
+    X, bin_mask, step_size, tol, mesh, n_iter, model, update, switch_every,
+    proj_back, n_freq_total,
+):
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(AXIS_MIX, None, AXIS_BINS, None), P(AXIS_BINS)),
+        out_specs=P(AXIS_MIX, None, AXIS_BINS, None),
+    )
+    def run(Xl, maskl):
+        ext = lambda x: _extract_one(
+            x, maskl, n_iter, step_size, tol, model, update, switch_every,
+            n_freq_total, proj_back,
+        )
+        return jax.vmap(ext)(Xl)
+
+    return run(X, bin_mask)
+
+
+def sharded_ogive(
+    mesh,
+    X_batch,
+    n_iter: int = 4000,
+    step_size: float = 0.1,
+    tol: float = 1e-3,
+    model: str = "laplace",
+    update: str = "demix",
+    switch_every: int = 10,
+    proj_back: bool = True,
+):
+    """OGIVE extraction of a batch of mixtures over the mesh.
+
+    X_batch: (B, T, F, M) complex. Returns Y: (B, T, F, 1). Convergence is
+    global: the per-iteration max step is pmax'd over the bins axis, so all
+    shards stop together, exactly like the single-device path.
+    """
+    B, T, F, M = X_batch.shape
+    n_mix = mesh.shape[AXIS_MIX]
+    n_bins = mesh.shape[AXIS_BINS]
+    if B % n_mix != 0:
+        raise ValueError(f"batch {B} not divisible by mix axis {n_mix}")
+    F_pad, mask = pad_bins(F, n_bins)
+    if F_pad != F:
+        reps = jnp.repeat(X_batch[:, :, -1:, :], F_pad - F, axis=2)
+        X_batch = jnp.concatenate([X_batch, reps], axis=2)
+    Y = _sharded_ogive_padded(
+        X_batch, jnp.asarray(mask), jnp.asarray(step_size), jnp.asarray(tol),
+        mesh, int(n_iter), model, update, int(switch_every), bool(proj_back),
+        int(F),
+    )
+    return Y[:, :, :F, :]
 
 
 def sharded_overiva(

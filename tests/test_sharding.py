@@ -9,7 +9,7 @@ import jax.numpy as jnp
 
 from overiva_tpu import api
 from overiva_tpu.parallel.mesh import make_mesh
-from overiva_tpu.parallel.sharded import sharded_overiva
+from overiva_tpu.parallel.sharded import sharded_ogive, sharded_overiva
 
 from helpers import make_mixture, stft_mixture
 
@@ -53,3 +53,19 @@ def test_mix_axis_requires_divisible_batch(batch):
     mesh = make_mesh(8, 1)
     with pytest.raises(ValueError):
         _run_sharded(batch, mesh)  # B=2 not divisible by 8
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 2)])
+def test_sharded_ogive_matches_single_device(batch, mesh_shape):
+    from overiva_tpu import api
+
+    mesh = make_mesh(*mesh_shape, devices=jax.devices()[: mesh_shape[0] * mesh_shape[1]])
+    Xd = jnp.asarray(batch)
+    Y = np.asarray(
+        sharded_ogive(mesh, Xd, n_iter=40, step_size=0.05, tol=1e-4)
+    )
+    for b in range(batch.shape[0]):
+        Yref = api.ogive(
+            batch[b], n_iter=40, step_size=0.05, tol=1e-4, dtype=np.complex128
+        )
+        np.testing.assert_allclose(Y[b], Yref, rtol=1e-5, atol=1e-7)
