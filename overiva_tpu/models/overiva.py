@@ -37,12 +37,16 @@ def demix(X, W1):
     return jnp.einsum("fnm,tfm->tfn", W1, X, precision=PRECISION)
 
 
-def _update_J(W_hat, Cx, n_src: int):
+def _update_J(W_hat, Cx, n_src: int, tmp=None):
     """Re-impose the orthogonal constraint (SURVEY.md §2.3.3):
-    J = solve(tmp[:,:,:N], tmp[:,:,N:])^H with tmp = W1 @ Cx."""
+    J = solve(tmp[:,:,:N], tmp[:,:,N:])^H with tmp = W1 @ Cx.
+
+    ``tmp`` may be passed in by callers that maintain it incrementally
+    (only the updated row of W1 changes it)."""
     N = n_src
-    W1 = W_hat[:, :N, :]
-    tmp = jnp.matmul(W1, Cx, precision=PRECISION)  # (F, N, M)
+    if tmp is None:
+        W1 = W_hat[:, :N, :]
+        tmp = jnp.matmul(W1, Cx, precision=PRECISION)  # (F, N, M)
     J_H = solve_mat(tmp[:, :, :N], tmp[:, :, N:])  # (F, N, M-N)
     return W_hat.at[:, N:, :N].set(mat_h(J_H))
 
@@ -95,6 +99,11 @@ def _epoch(
         pw = lax.psum(pw, axis_name)
     _, phi = activations_from_power(pw, n_freq or F, model)
 
+    # tmp = W1 @ Cx for the OC update, maintained incrementally: each IP step
+    # changes exactly one row of W1, so only that row of tmp is recomputed
+    tmp = (
+        jnp.matmul(W_hat[:, :N, :], Cx, precision=PRECISION) if N < M else None
+    )
     for k in range(N):  # static unroll — IP updates are order-dependent
         V = weighted_covariance(X, phi[:, k])  # (F, M, M)
         WV = jnp.matmul(W_hat, V, precision=PRECISION)
@@ -106,7 +115,9 @@ def _epoch(
         w = w / jnp.sqrt(jnp.real(denom)).astype(w.real.dtype)[:, None]
         W_hat = W_hat.at[:, k, :].set(jnp.conj(w))
         if N < M:
-            W_hat = _update_J(W_hat, Cx, N)
+            row = jnp.einsum("fm,fmn->fn", jnp.conj(w), Cx, precision=PRECISION)
+            tmp = tmp.at[:, k, :].set(row)
+            W_hat = _update_J(W_hat, Cx, N, tmp=tmp)
     return W_hat
 
 

@@ -43,8 +43,49 @@ def gauss_solve(A, B):
     Rows are never physically exchanged: pivoting is done with one-hot masks
     (a per-step row gather of the whole tableau is ~3x slower on TPU), and
     the accumulated permutation is applied once at the end.
+
+    m <= 3 uses closed-form adjugate inverses instead (fewer, wider
+    elementwise passes — measurably faster for the OverIVA OC update).
     """
     F, m, _ = A.shape
+    if m == 1:
+        return B / A[:, :, 0:1]
+    if m == 2:
+        det = A[:, 0, 0] * A[:, 1, 1] - A[:, 0, 1] * A[:, 1, 0]
+        inv = (
+            jnp.stack(
+                [
+                    jnp.stack([A[:, 1, 1], -A[:, 0, 1]], axis=1),
+                    jnp.stack([-A[:, 1, 0], A[:, 0, 0]], axis=1),
+                ],
+                axis=1,
+            )
+            / det[:, None, None]
+        )
+        return jnp.matmul(inv, B, precision=PRECISION)
+    if m == 3:
+        a, b, c = A[:, 0, 0], A[:, 0, 1], A[:, 0, 2]
+        d, e, f = A[:, 1, 0], A[:, 1, 1], A[:, 1, 2]
+        g, h, i = A[:, 2, 0], A[:, 2, 1], A[:, 2, 2]
+        co00 = e * i - f * h
+        co01 = c * h - b * i
+        co02 = b * f - c * e
+        co10 = f * g - d * i
+        co11 = a * i - c * g
+        co12 = c * d - a * f
+        co20 = d * h - e * g
+        co21 = b * g - a * h
+        co22 = a * e - b * d
+        det = a * co00 + b * co10 + c * co20
+        inv = jnp.stack(
+            [
+                jnp.stack([co00, co01, co02], axis=1),
+                jnp.stack([co10, co11, co12], axis=1),
+                jnp.stack([co20, co21, co22], axis=1),
+            ],
+            axis=1,
+        ) / det[:, None, None]
+        return jnp.matmul(inv, B, precision=PRECISION)
     Ab = jnp.concatenate([A, B], axis=2)  # (F, m, m+k)
     avail = jnp.ones((F, m), bool)  # rows not yet chosen as pivots
     perm = jnp.zeros((F, m), jnp.int32)  # perm[i] = tableau row of solution i

@@ -1,0 +1,52 @@
+"""Covariance kernels: weighted, per-(t,f) weighted, frame-chunked streaming."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from overiva_tpu.ops.covariance import (
+    covariance,
+    weighted_covariance,
+    weighted_covariance_chunked,
+    weighted_covariance_tf,
+)
+
+
+def _mk(rng, T=100, F=17, M=4):
+    X = rng.standard_normal((T, F, M)) + 1j * rng.standard_normal((T, F, M))
+    return jnp.asarray(X)
+
+
+def test_covariance_hermitian_psd(rng):
+    X = _mk(rng)
+    C = np.asarray(covariance(X))
+    np.testing.assert_allclose(C, np.conj(np.swapaxes(C, 1, 2)), atol=1e-12)
+    eig = np.linalg.eigvalsh(C)
+    assert eig.min() > -1e-10
+
+
+def test_weighted_covariance_matches_einsum(rng):
+    X = _mk(rng)
+    phi = jnp.asarray(rng.random(100))
+    V = np.asarray(weighted_covariance(X, phi))
+    Vref = np.einsum("t,tfm,tfn->fmn", np.asarray(phi), np.asarray(X), np.conj(np.asarray(X))) / 100
+    np.testing.assert_allclose(V, Vref, atol=1e-10)
+
+
+def test_chunked_matches_dense(rng):
+    """Streaming accumulation (SURVEY §5.7) == dense, including the padded
+    tail when T is not a multiple of the chunk."""
+    X = _mk(rng, T=100)
+    phi = jnp.asarray(rng.random(100))
+    V_dense = np.asarray(weighted_covariance(X, phi))
+    for chunk in (25, 32, 100, 256):
+        V_chunk = np.asarray(weighted_covariance_chunked(X, phi, chunk=chunk))
+        np.testing.assert_allclose(V_chunk, V_dense, atol=1e-10, err_msg=str(chunk))
+
+
+def test_weighted_tf_matches_einsum(rng):
+    X = _mk(rng)
+    w = jnp.asarray(rng.random((100, 17)))
+    V = np.asarray(weighted_covariance_tf(X, w))
+    Vref = np.einsum("tf,tfm,tfn->fmn", np.asarray(w), np.asarray(X), np.conj(np.asarray(X))) / 100
+    np.testing.assert_allclose(V, Vref, atol=1e-10)
