@@ -57,6 +57,10 @@ def main(argv=None):
     p.add_argument("--fs", type=int, default=16000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save", type=str, default=None, help="dir for output wavs")
+    p.add_argument(
+        "--monitor", type=str, default=None, metavar="PNG",
+        help="record per-iteration SDR/SIR via the callback and plot to PNG",
+    )
     args = p.parse_args(argv)
 
     rng = np.random.default_rng(args.seed)
@@ -79,8 +83,16 @@ def main(argv=None):
     X = api.stft_analysis(stft_pad(mix, args.nfft, hop), args.nfft)
     print(f"mixture {mix.shape} -> STFT {X.shape}")
 
+    recorder = None
+    if args.monitor:
+        from overiva_tpu.utils.profiling import ConvergenceRecorder
+
+        recorder = ConvergenceRecorder(
+            premix[:, 0, : mix.shape[0]], args.nfft, n_samples=mix.shape[0]
+        )
+
     t0 = time.perf_counter()
-    Y = separate(args.algo, X, args.srcs, args.n_iter)
+    Y = separate(args.algo, X, args.srcs, args.n_iter, callback=recorder)
     dt = time.perf_counter() - t0
     y = api.stft_synthesis(Y, args.nfft)
     start = args.nfft - hop
@@ -106,6 +118,27 @@ def main(argv=None):
         sdr, sir, _, _ = bss_eval_sources(pair, est, compute_permutation=False)
         print(f"\n{args.algo}: {dt:.2f}s  extracted src {best}: "
               f"SDR {sdr[0]:.2f} dB  SIR {sir[0]:.2f} dB")
+
+    if recorder is not None and recorder.sdr:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(1, 2, figsize=(9, 3.5), sharex=True)
+        sdr_c = np.asarray(recorder.sdr)
+        sir_c = np.asarray(recorder.sir)
+        for k in range(sdr_c.shape[1]):
+            ax[0].plot(sdr_c[:, k], marker="o", label=f"src {k}")
+            ax[1].plot(sir_c[:, k], marker="o", label=f"src {k}")
+        ax[0].set_title("SDR (dB)")
+        ax[1].set_title("SIR (dB)")
+        ax[0].set_xlabel("callback #")
+        ax[1].set_xlabel("callback #")
+        ax[0].legend()
+        fig.tight_layout()
+        fig.savefig(args.monitor, dpi=120)
+        print(f"convergence plot -> {args.monitor}")
 
     if args.save:
         from scipy.io import wavfile

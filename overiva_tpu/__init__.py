@@ -33,6 +33,7 @@ def __getattr__(name):
 _API = {
     "auxiva": "api",
     "overiva": "api",
+    "overiva_batch": "api",
     "ogive": "api",
     "auxiva_pca": "api",
     "pca": "api",

@@ -48,6 +48,7 @@ __all__ = [
     "projection_back",
     "stft_analysis",
     "stft_synthesis",
+    "overiva_batch",
 ]
 
 DEFAULT_DTYPE = np.complex64
@@ -420,3 +421,50 @@ def ilrma(
 @partial(jax.jit, static_argnames=("m",))
 def _eye_like(X, m):
     return jnp.tile(jnp.eye(m, dtype=X.dtype), (X.shape[1], 1, 1))
+
+
+# ------------------------------------------------------- batched separation
+
+@partial(
+    jax.jit, static_argnames=("n_src", "n_iter", "model", "init_eig", "proj_back")
+)
+def _overiva_batch_jit(X, n_src, n_iter, model, init_eig, proj_back):
+    from .models.overiva import overiva_run
+    from .ops.projection import apply_projection_back
+
+    def one(Xb):
+        Y, _ = overiva_run(Xb, n_src, n_iter, model, init_eig=init_eig)
+        if proj_back:
+            Y = apply_projection_back(Y, Xb[:, :, 0])
+        return Y
+
+    Y = jax.vmap(one)(X)
+    return jnp.real(Y), jnp.imag(Y)
+
+
+def overiva_batch(
+    X,
+    n_src=None,
+    n_iter=20,
+    proj_back=True,
+    model="laplace",
+    init_eig=False,
+    dtype=None,
+):
+    """Separate a batch of same-shape mixtures in ONE fused XLA program.
+
+    X: (batch, n_frames, n_freq, n_chan) complex. Returns
+    (batch, n_frames, n_freq, n_src). Single-chip throughput path (vmap over
+    mixtures); for multi-chip see ``overiva_tpu.parallel.sharded``. No
+    callback support (use :func:`overiva` per mixture for that).
+    """
+    X = np.asarray(X)
+    B, T, F, M = X.shape
+    N = M if n_src is None else int(n_src)
+    if not 1 <= N <= M:
+        raise ValueError("need 1 <= n_src <= n_chan")
+    Xd = _to_device(X, np.dtype(dtype or DEFAULT_DTYPE))
+    re, im = _overiva_batch_jit(
+        Xd, N, int(n_iter), model, bool(init_eig), bool(proj_back)
+    )
+    return merge_np(np.asarray(re), np.asarray(im))
