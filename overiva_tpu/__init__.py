@@ -34,6 +34,7 @@ _API = {
     "auxiva": "api",
     "overiva": "api",
     "overiva_batch": "api",
+    "separate": "api",
     "ogive": "api",
     "auxiva_pca": "api",
     "pca": "api",

@@ -22,6 +22,9 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# surface NaNs produced inside jitted programs at the op that made them
+# (SURVEY.md §5.2) — the algorithms guard all divisions, so any NaN is a bug
+jax.config.update("jax_debug_nans", True)
 
 import numpy as np
 import pytest
