@@ -64,12 +64,10 @@ def run_algo(name: str, X, n_src: int, params: dict):
     return get_algorithm(name)(X, n_src=n_src, **params)
 
 
-def one_instance(cfg: dict, seed: int, n_mics: int, n_src: int, rt60: float, snr: float):
-    """Simulate one room and run every applicable algorithm."""
+def simulate_instance(cfg: dict, seed: int, n_mics: int, n_src: int, rt60: float, snr: float):
+    """CPU-side: build + simulate one room. Returns (mix, premix)."""
     fs = cfg["fs"]
     n = int(cfg["duration"] * fs)
-    nfft = cfg["nfft"]
-    hop = nfft // 2
     rng = np.random.default_rng(seed)
 
     room = ShoeBox(cfg["room_dim"], fs=fs, rt60=rt60, seed=seed)
@@ -87,6 +85,14 @@ def one_instance(cfg: dict, seed: int, n_mics: int, n_src: int, rt60: float, snr
     )
     premix, noise = room.simulate(return_premix=True, snr=snr)
     mix = (premix.sum(axis=0) + noise).T
+    return mix, premix
+
+
+def one_instance(cfg, seed, n_mics, n_src, rt60, snr, simulated=None):
+    """Run every applicable algorithm on one (possibly pre-simulated) room."""
+    nfft = cfg["nfft"]
+    hop = nfft // 2
+    mix, premix = simulated or simulate_instance(cfg, seed, n_mics, n_src, rt60, snr)
 
     X = api.stft_analysis(stft_pad(mix, nfft, hop), nfft)
     refs = premix[:, 0, : mix.shape[0]]
@@ -142,34 +148,57 @@ def instance_key(seed, n_mics, n_src, rt60, snr):
     return f"s{seed}_m{n_mics}_n{n_src}_rt{rt60}_snr{snr}"
 
 
-def sweep(cfg: dict, out_dir: Path):
+def sweep(cfg: dict, out_dir: Path, prefetch: int = 2):
+    """Run the sweep. Room simulation (CPU) is prefetched on worker threads
+    so it overlaps with TPU separation — the TPU-native analog of the
+    reference's multiprocessing pool (SURVEY.md §3.4: there, every worker
+    was a full pipeline; here the accelerator is the serial resource and the
+    CPU work hides behind it)."""
+    import queue
+    import threading
+
     out_dir.mkdir(parents=True, exist_ok=True)
     (out_dir / "config.json").write_text(json.dumps(cfg, indent=2))
     base = np.random.SeedSequence(cfg["seed"]).generate_state(cfg["repeats"])
-    grid = list(
-        itertools.product(
+    grid = [
+        g
+        for g in itertools.product(
             base.tolist(), cfg["n_mics"], cfg["n_srcs"], cfg["rt60"], cfg["snr"]
         )
-    )
-    done = skipped = 0
-    for seed, n_mics, n_src, rt60, snr in grid:
-        if n_src > n_mics:
-            continue
-        key = instance_key(seed, n_mics, n_src, rt60, snr)
-        path = out_dir / f"{key}.json"
-        if path.exists():  # resume-by-skip
-            skipped += 1
-            continue
+        if g[2] <= g[1]  # n_src <= n_mics
+    ]
+    todo = [
+        g for g in grid if not (out_dir / f"{instance_key(*g)}.json").exists()
+    ]
+    skipped = len(grid) - len(todo)
+
+    q: queue.Queue = queue.Queue(maxsize=max(prefetch, 1))
+
+    def producer():
+        for g in todo:
+            q.put((g, simulate_instance(cfg, *g)))
+        q.put(None)
+
+    threading.Thread(target=producer, daemon=True).start()
+
+    done = 0
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        g, simulated = item
+        seed, n_mics, n_src, rt60, snr = g
+        key = instance_key(*g)
         t0 = time.perf_counter()
-        results = one_instance(cfg, seed, n_mics, n_src, rt60, snr)
+        results = one_instance(cfg, *g, simulated=simulated)
         record = {
             "seed": seed, "n_mics": n_mics, "n_src": n_src,
             "rt60": rt60, "snr": snr,
             "wall": time.perf_counter() - t0, "results": results,
         }
-        path.write_text(json.dumps(record))
+        (out_dir / f"{key}.json").write_text(json.dumps(record))
         done += 1
-        print(f"[{done}] {key}  ({record['wall']:.1f}s)", flush=True)
+        print(f"[{done}/{len(todo)}] {key}  ({record['wall']:.1f}s)", flush=True)
     print(f"sweep complete: {done} new, {skipped} skipped (resumed)")
 
 
