@@ -49,6 +49,7 @@ DEFAULT_CONFIG = {
     "algos": {
         "auxiva": {"n_iter": 20},
         "auxiva-gauss": {"n_iter": 20},
+        "auxiva-iss": {"n_iter": 20},
         "overiva": {"n_iter": 20},
         "overiva-gauss": {"n_iter": 20},
         "auxiva_pca": {"n_iter": 20},

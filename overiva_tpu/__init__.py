@@ -32,6 +32,7 @@ def __getattr__(name):
 
 _API = {
     "auxiva": "api",
+    "auxiva_iss": "api",
     "overiva": "api",
     "overiva_batch": "api",
     "separate": "api",

@@ -50,6 +50,7 @@ __all__ = [
     "stft_synthesis",
     "overiva_batch",
     "separate",
+    "auxiva_iss",
 ]
 
 DEFAULT_DTYPE = np.complex64
@@ -148,6 +149,85 @@ def overiva(
     if return_filters:
         return Y, _to_host(W_hat)
     return Y
+
+
+def auxiva_iss(
+    X,
+    n_src=None,
+    n_iter=20,
+    proj_back=True,
+    W0=None,
+    model="laplace",
+    return_filters=False,
+    callback=None,
+    callback_every=10,
+    dtype=None,
+):
+    """AuxIVA with iterative source steering (rank-1, solve-free updates).
+
+    Extension beyond the reference repo (PAPERS.md: arXiv:2009.09402 /
+    Scheibler & Ono 2020). Determined: n_src == n_chan.
+    """
+    from .models.auxiva_iss import auxiva_iss_iterations
+
+    X = np.asarray(X)
+    T, F, M = X.shape
+    N = M if n_src is None else int(n_src)
+    if N != M:
+        raise ValueError("auxiva_iss is determined: n_src must equal n_chan")
+    cdtype = np.dtype(dtype or DEFAULT_DTYPE)
+
+    Xd = _to_device(X, cdtype)
+    W = _to_device(W0, cdtype) if W0 is not None else _eye_like(Xd, M)
+
+    if callback is None:
+        W, Yd = auxiva_iss_iterations(Xd, W, int(n_iter), model)
+    else:
+        done = 0
+        Yd = _demix_jit(Xd, W)
+        while done < n_iter:
+            re, im = _snapshot_y(Xd, Yd)
+            callback(merge_np(np.asarray(re), np.asarray(im)))
+            step = min(callback_every, n_iter - done)
+            # carry (W, Y) across chunks: ISS maintains Y incrementally
+            W, Yd = _iss_chunk(Xd, W, Yd, step, model)
+            done += step
+
+    re, im = _finalize_y(Xd, Yd, bool(proj_back))
+    Y = merge_np(np.asarray(re), np.asarray(im))
+    if return_filters:
+        return Y, _to_host(W)
+    return Y
+
+
+@jax.jit
+def _demix_jit(X, W):
+    from .models.overiva import demix
+
+    return demix(X, W)
+
+
+@partial(jax.jit, static_argnames=("n_iter", "model"))
+def _iss_chunk(X, W, Y, n_iter, model):
+    from .models.auxiva_iss import _iss_epoch
+
+    W, Y = jax.lax.fori_loop(
+        0, n_iter, lambda _, s: _iss_epoch(X, s, model), (W, Y)
+    )
+    return W, Y
+
+
+@jax.jit
+def _snapshot_y(X, Y):
+    Yp = _proj.apply_projection_back(Y, X[:, :, 0])
+    return jnp.real(Yp), jnp.imag(Yp)
+
+
+@partial(jax.jit, static_argnames=("proj_back",))
+def _finalize_y(X, Y, proj_back):
+    if proj_back:
+        Y = _proj.apply_projection_back(Y, X[:, :, 0])
+    return jnp.real(Y), jnp.imag(Y)
 
 
 def auxiva(

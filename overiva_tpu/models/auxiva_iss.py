@@ -1,0 +1,65 @@
+"""AuxIVA-ISS core — fused JAX iteration (trace-side).
+
+Rank-1 source-steering updates (see the oracle twin
+``overiva_tpu/oracle/auxiva_iss.py``): no matrix solves anywhere, every step
+is einsums + elementwise math over all bins — the fastest family member on
+TPU (no Gauss-Jordan chains, pure VPU/MXU work).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.linalg import PRECISION
+from .overiva import demix
+from .source_models import activations_from_power, power
+
+__all__ = ["auxiva_iss_iterations"]
+
+_EPS = 1e-15
+
+
+def _iss_epoch(X, state, model, axis_name=None, n_freq=None, bin_mask=None):
+    W, Y = state
+    T, F, M = X.shape
+    pw = power(Y, bin_mask)
+    if axis_name is not None:
+        pw = lax.psum(pw, axis_name)
+    _, phi = activations_from_power(pw, n_freq or F, model)
+    phif = phi.astype(Y.real.dtype)
+
+    for n in range(M):  # static unroll, order-dependent
+        yn = Y[:, :, n]
+        num = jnp.einsum("tm,tfm,tf->fm", phif, Y, jnp.conj(yn), precision=PRECISION)
+        den = jnp.real(
+            jnp.einsum("tm,tf,tf->fm", phif, yn, jnp.conj(yn), precision=PRECISION)
+        )
+        v = num / jnp.maximum(den, _EPS).astype(num.real.dtype)
+        dnn = den[:, n] / T
+        vnn = 1.0 - jax.lax.rsqrt(jnp.maximum(dnn, _EPS))
+        col = jnp.arange(M)[None, :] == n
+        v = jnp.where(col, vnn.astype(v.real.dtype)[:, None], v)
+        Y = Y - v[None, :, :] * yn[:, :, None]
+        W = W - v[:, :, None] * W[:, n, :][:, None, :]
+    return W, Y
+
+
+@partial(
+    jax.jit, static_argnames=("n_iter", "model", "axis_name", "n_freq")
+)
+def auxiva_iss_iterations(
+    X, W, n_iter: int, model: str, axis_name=None, n_freq=None, bin_mask=None
+):
+    """Run n_iter fused ISS epochs. Returns (W, Y)."""
+    Y = demix(X, W)
+    W, Y = lax.fori_loop(
+        0,
+        n_iter,
+        lambda _, s: _iss_epoch(X, s, model, axis_name, n_freq, bin_mask),
+        (W, Y),
+    )
+    return W, Y

@@ -7,6 +7,7 @@ NumPy, independent of the JAX code paths.
 """
 
 from .auxiva import auxiva
+from .auxiva_iss import auxiva_iss
 from .auxiva_pca import auxiva_pca, pca
 from .models import EPS, MODELS, activations
 from .ogive import ogive
@@ -21,6 +22,7 @@ __all__ = [
     "analysis",
     "apply_projection_back",
     "auxiva",
+    "auxiva_iss",
     "auxiva_pca",
     "hann",
     "ogive",

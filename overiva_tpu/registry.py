@@ -57,6 +57,10 @@ ALGORITHMS: dict[str, AlgorithmSpec] = {
                       defaults={"n_iter": 20}),
         AlgorithmSpec("auxiva-gauss", _gauss(api.auxiva), determined=True,
                       defaults={"n_iter": 20}),
+        AlgorithmSpec("auxiva-iss", api.auxiva_iss, determined=True,
+                      defaults={"n_iter": 20}),
+        AlgorithmSpec("auxiva-iss-gauss", _gauss(api.auxiva_iss), determined=True,
+                      defaults={"n_iter": 20}),
         AlgorithmSpec("overiva", api.overiva, defaults={"n_iter": 20}),
         AlgorithmSpec("overiva-gauss", _gauss(api.overiva),
                       defaults={"n_iter": 20}),
