@@ -295,15 +295,21 @@ def auxiva_pca(
     callback=None,
     callback_every=10,
     dtype=None,
+    inner="ip",
 ):
     """PCA to n_src dims then determined AuxIVA; projection back against the
-    ORIGINAL mic 0. Reference: ``auxiva_pca.py``."""
+    ORIGINAL mic 0. Reference: ``auxiva_pca.py``.
+
+    ``inner``: "ip" (reference-matching iterative projection) or "iss"
+    (rank-1 source steering — the fast overdetermined path on TPU: one eigh
+    + solve-free iterations)."""
     X = np.asarray(X)
     T, F, M = X.shape
     N = M if n_src is None else int(n_src)
     X_r = pca(X, N, dtype=dtype) if N < M else X
 
-    res = auxiva(
+    inner_fn = {"ip": auxiva, "iss": auxiva_iss}[inner]
+    res = inner_fn(
         X_r,
         n_src=N,
         n_iter=n_iter,

@@ -65,6 +65,8 @@ ALGORITHMS: dict[str, AlgorithmSpec] = {
         AlgorithmSpec("overiva-gauss", _gauss(api.overiva),
                       defaults={"n_iter": 20}),
         AlgorithmSpec("auxiva_pca", api.auxiva_pca, defaults={"n_iter": 20}),
+        AlgorithmSpec("auxiva_pca-iss", api.auxiva_pca,
+                      defaults={"n_iter": 20, "inner": "iss"}),
         AlgorithmSpec("ilrma", api.ilrma, determined=True,
                       defaults={"n_iter": 30, "n_components": 2}),
         AlgorithmSpec("ogive", api.ogive, single_output=True,

@@ -63,6 +63,16 @@ def test_iss_callback_parity(mixture22):
         np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-8)
 
 
+def test_pca_iss_separates():
+    rng = np.random.default_rng(82)
+    mix, premix, _ = make_mixture(rng, n_src=2, n_mics=5, n_samples=20000, snr_db=25)
+    X = stft_mixture(mix, nfft=256)
+    P = np.stack([stft_mixture(premix[k], nfft=256)[:, :, 0] for k in range(2)])
+    Y = api.auxiva_pca(X, n_src=2, n_iter=30, inner="iss")
+    ok, G = separation_success(Y, P)
+    assert ok, G
+
+
 def test_iss_w0_roundtrip(mixture22):
     X, _ = mixture22
     Y1, W1 = oracle.auxiva_iss(X, n_iter=6, proj_back=False, return_filters=True)
