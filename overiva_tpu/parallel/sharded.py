@@ -26,13 +26,14 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
+from ..models import auxiva_iss as _iss
 from ..models import ogive as _ogive
 from ..models import overiva as _core
 from ..ops import projection as _proj
 from ..ops.covariance import covariance
 from .mesh import AXIS_BINS, AXIS_MIX
 
-__all__ = ["pad_bins", "sharded_overiva", "sharded_ogive"]
+__all__ = ["pad_bins", "sharded_overiva", "sharded_ogive", "sharded_auxiva_iss"]
 
 
 def pad_bins(F: int, n_shards: int):
@@ -89,6 +90,62 @@ def _sharded_overiva_padded(
         return jax.vmap(sep)(Xl)
 
     return run(X, bin_mask)
+
+
+def _iss_one(X, bin_mask, n_iter, model, n_freq_total, proj_back):
+    """Per-shard, per-mixture AuxIVA-ISS on the local bin slice."""
+    T, Fl, M = X.shape
+    W = jnp.tile(jnp.eye(M, dtype=X.dtype), (Fl, 1, 1))
+    # constant init must carry the same varying-axes type as the loop body
+    W = jax.lax.pcast(W, (AXIS_MIX, AXIS_BINS), to="varying")
+    Y = _core.demix(X, W)
+
+    def epoch(_, s):
+        return _iss._iss_epoch(
+            X, s, model, axis_name=AXIS_BINS, n_freq=n_freq_total, bin_mask=bin_mask
+        )
+
+    W, Y = jax.lax.fori_loop(0, n_iter, epoch, (W, Y))
+    if proj_back:
+        Y = _proj.apply_projection_back(Y, X[:, :, 0])
+    return Y
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "n_iter", "model", "proj_back", "n_freq_total"),
+)
+def _sharded_iss_padded(X, bin_mask, mesh, n_iter, model, proj_back, n_freq_total):
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(AXIS_MIX, None, AXIS_BINS, None), P(AXIS_BINS)),
+        out_specs=P(AXIS_MIX, None, AXIS_BINS, None),
+    )
+    def run(Xl, maskl):
+        sep = lambda x: _iss_one(x, maskl, n_iter, model, n_freq_total, proj_back)
+        return jax.vmap(sep)(Xl)
+
+    return run(X, bin_mask)
+
+
+def sharded_auxiva_iss(
+    mesh, X_batch, n_iter: int = 20, model: str = "laplace", proj_back: bool = True
+):
+    """Determined AuxIVA-ISS over the mesh. X_batch: (B, T, F, M) complex."""
+    B, T, F, M = X_batch.shape
+    n_mix = mesh.shape[AXIS_MIX]
+    n_bins = mesh.shape[AXIS_BINS]
+    if B % n_mix != 0:
+        raise ValueError(f"batch {B} not divisible by mix axis {n_mix}")
+    F_pad, mask = pad_bins(F, n_bins)
+    if F_pad != F:
+        reps = jnp.repeat(X_batch[:, :, -1:, :], F_pad - F, axis=2)
+        X_batch = jnp.concatenate([X_batch, reps], axis=2)
+    Y = _sharded_iss_padded(
+        X_batch, jnp.asarray(mask), mesh, int(n_iter), model, bool(proj_back), int(F)
+    )
+    return Y[:, :, :F, :]
 
 
 def _extract_one(X, bin_mask, n_iter, step_size, tol, model, update,

@@ -9,7 +9,11 @@ import jax.numpy as jnp
 
 from overiva_tpu import api
 from overiva_tpu.parallel.mesh import make_mesh
-from overiva_tpu.parallel.sharded import sharded_ogive, sharded_overiva
+from overiva_tpu.parallel.sharded import (
+    sharded_auxiva_iss,
+    sharded_ogive,
+    sharded_overiva,
+)
 
 from helpers import make_mixture, stft_mixture
 
@@ -53,6 +57,17 @@ def test_mix_axis_requires_divisible_batch(batch):
     mesh = make_mesh(8, 1)
     with pytest.raises(ValueError):
         _run_sharded(batch, mesh)  # B=2 not divisible by 8
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+def test_sharded_iss_matches_single_device(batch, mesh_shape):
+    from overiva_tpu import api
+
+    mesh = make_mesh(*mesh_shape, devices=jax.devices()[: mesh_shape[0] * mesh_shape[1]])
+    Y = np.asarray(sharded_auxiva_iss(mesh, jnp.asarray(batch), n_iter=6))
+    for b in range(batch.shape[0]):
+        Yref = api.auxiva_iss(batch[b], n_iter=6, dtype=np.complex128)
+        np.testing.assert_allclose(Y[b], Yref, rtol=1e-6, atol=1e-8)
 
 
 @pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 2)])
