@@ -37,6 +37,7 @@ _API = {
     "overiva_batch": "api",
     "separate": "api",
     "ogive": "api",
+    "five": "api",
     "auxiva_pca": "api",
     "pca": "api",
     "ilrma": "api",

@@ -51,6 +51,7 @@ __all__ = [
     "overiva_batch",
     "separate",
     "auxiva_iss",
+    "five",
 ]
 
 DEFAULT_DTYPE = np.complex64
@@ -406,6 +407,85 @@ def _ogive_finalize(X, w, proj_back):
     if proj_back:
         Y = _proj.apply_projection_back(Y, X[:, :, 0])
     return jnp.real(Y), jnp.imag(Y)
+
+
+def five(
+    X,
+    n_iter=10,
+    proj_back=True,
+    model="laplace",
+    return_filters=False,
+    callback=None,
+    callback_every=1,
+    dtype=None,
+):
+    """FIVE: fast single-source extraction by iterative SINR maximization
+    (extension beyond the reference; converges in a handful of iterations
+    where ogive needs thousands). Returns Y (n_frames, n_freq, 1) [, w]."""
+    from .models.five import five_demix, five_iterations, five_whiten
+
+    X = np.asarray(X)
+    cdtype = np.dtype(dtype or DEFAULT_DTYPE)
+    Xd = _to_device(X, cdtype)
+    Xw, Q = _five_whiten_jit(Xd)
+    w = _five_init(Xw)
+
+    if callback is None:
+        w = five_iterations(Xw, w, int(n_iter), model)
+    else:
+        done = 0
+        while done < n_iter:
+            re, im = _five_snapshot(Xd, Xw, w)
+            callback(merge_np(np.asarray(re), np.asarray(im)))
+            step = min(int(callback_every), n_iter - done)
+            w = five_iterations(Xw, w, step, model)
+            done += step
+
+    re, im = _five_finalize(Xd, Xw, w, bool(proj_back))
+    Y = merge_np(np.asarray(re), np.asarray(im))
+    if return_filters:
+        w_un = _five_unwhiten(Q, w)
+        return Y, _to_host(w_un)
+    return Y
+
+
+@jax.jit
+def _five_whiten_jit(X):
+    from .models.five import five_whiten
+
+    return five_whiten(X)
+
+
+@jax.jit
+def _five_init(Xw):
+    F, M = Xw.shape[1], Xw.shape[2]
+    return jnp.zeros((F, M), Xw.dtype).at[:, 0].set(1.0)
+
+
+@jax.jit
+def _five_snapshot(X, Xw, w):
+    from .models.five import five_demix
+
+    Y = five_demix(Xw, w)[:, :, None]
+    Y = _proj.apply_projection_back(Y, X[:, :, 0])
+    return jnp.real(Y), jnp.imag(Y)
+
+
+@partial(jax.jit, static_argnames=("proj_back",))
+def _five_finalize(X, Xw, w, proj_back):
+    from .models.five import five_demix
+
+    Y = five_demix(Xw, w)[:, :, None]
+    if proj_back:
+        Y = _proj.apply_projection_back(Y, X[:, :, 0])
+    return jnp.real(Y), jnp.imag(Y)
+
+
+@jax.jit
+def _five_unwhiten(Q, w):
+    from .ops.linalg import mat_h
+
+    return jnp.einsum("fmn,fn->fm", mat_h(Q), w)
 
 
 # ----------------------------------------------------------------- frontend

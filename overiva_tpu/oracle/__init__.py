@@ -9,6 +9,7 @@ NumPy, independent of the JAX code paths.
 from .auxiva import auxiva
 from .auxiva_iss import auxiva_iss
 from .auxiva_pca import auxiva_pca, pca
+from .five import five
 from .models import EPS, MODELS, activations
 from .ogive import ogive
 from .overiva import overiva
@@ -24,6 +25,7 @@ __all__ = [
     "auxiva",
     "auxiva_iss",
     "auxiva_pca",
+    "five",
     "hann",
     "ogive",
     "overiva",
