@@ -37,7 +37,8 @@ ALGOS = sorted(ALGORITHMS)
 def separate(algo: str, X: np.ndarray, n_src: int, n_iter: int, callback=None):
     spec = get_algorithm(algo)
     kw = {"callback": callback}
-    if spec.single_output:
+    if algo.startswith("ogive"):
+        # gradient method: needs many cheap steps, not the IP-scale count
         kw.update(n_iter=max(n_iter, 1000), step_size=0.05)
     else:
         kw.update(n_iter=n_iter)
