@@ -21,6 +21,9 @@ def main():
 
     from overiva_tpu.api import _prepare
     from overiva_tpu.models.overiva import overiva_iterations
+    from overiva_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     T, F, M, N = 128, 2049, 8, 3
     N_ITER = 30

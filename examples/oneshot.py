@@ -19,6 +19,10 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from overiva_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 from overiva_tpu import api
 from overiva_tpu.metrics import bss_eval_sources
 from overiva_tpu.oracle import stft_pad

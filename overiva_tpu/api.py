@@ -52,6 +52,7 @@ __all__ = [
     "separate",
     "auxiva_iss",
     "five",
+    "OnlineAuxIVAISS",
 ]
 
 DEFAULT_DTYPE = np.complex64
@@ -486,6 +487,50 @@ def _five_unwhiten(Q, w):
     from .ops.linalg import mat_h
 
     return jnp.einsum("fmn,fn->fm", mat_h(Q), w)
+
+
+class OnlineAuxIVAISS:
+    """Streaming determined separation: feed STFT blocks, get separated
+    blocks with O(block) latency (online rank-1 source steering with
+    exponential forgetting; extension beyond the reference — PAPERS.md:
+    arXiv:2209.00937 lineage).
+
+    >>> sep = OnlineAuxIVAISS(n_freq=513, n_chan=4, forget=0.97)
+    >>> for X_blk in stream:          # (block_frames, n_freq, n_chan) complex
+    ...     y_blk = sep.process(X_blk)
+
+    State lives on device; blocks must share the same shape (one compile).
+    """
+
+    def __init__(self, n_freq, n_chan, forget=0.97, model="laplace",
+                 n_pass=1, dtype=None):
+        from .models.online_iss import online_iss_init
+
+        self.model = model
+        self.n_pass = int(n_pass)
+        cdtype = np.dtype(dtype or DEFAULT_DTYPE)
+        self._rdtype = real_dtype_of(cdtype)
+        jdtype = jnp.complex64 if cdtype == np.complex64 else jnp.complex128
+        self.state = online_iss_init(int(n_freq), int(n_chan), jdtype)
+        self.forget = jnp.asarray(forget, self._rdtype)
+        self._cdtype = cdtype
+
+    def process(self, X_blk) -> np.ndarray:
+        """X_blk: (block_frames, n_freq, n_chan) complex ndarray ->
+        separated (block_frames, n_freq, n_chan) ndarray."""
+        from .models.online_iss import online_iss_step
+
+        Xd = _to_device(np.asarray(X_blk), self._cdtype)
+        Y, self.state = online_iss_step(
+            Xd, self.state, self.forget, self.model, self.n_pass
+        )
+        re, im = _split(Y)
+        return merge_np(np.asarray(re), np.asarray(im))
+
+    @property
+    def filters(self) -> np.ndarray:
+        """Current demixing matrix (n_freq, n_chan, n_chan) ndarray."""
+        return _to_host(self.state["W"])
 
 
 # ----------------------------------------------------------------- frontend

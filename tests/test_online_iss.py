@@ -1,0 +1,52 @@
+"""Online (streaming) AuxIVA-ISS: convergence over blocks."""
+
+import numpy as np
+
+from overiva_tpu import api
+from overiva_tpu.api import OnlineAuxIVAISS
+
+from helpers import make_mixture, stft_mixture
+from test_oracle_algos import stft_sir_matrix
+
+
+def test_online_iss_converges_over_stream():
+    rng = np.random.default_rng(99)
+    mix, premix, _ = make_mixture(rng, n_src=2, n_mics=2, n_samples=64000, snr_db=25)
+    X = stft_mixture(mix, nfft=256)  # (T, 129, 2)
+    P = np.stack([stft_mixture(premix[k], nfft=256)[:, :, 0] for k in range(2)])
+    T = X.shape[0]
+    B = 25
+    sep = OnlineAuxIVAISS(n_freq=X.shape[1], n_chan=2, forget=0.985,
+                          n_pass=2, dtype=np.complex128)
+    outs = []
+    for start in range(0, T - B + 1, B):
+        outs.append(sep.process(X[start : start + B]))
+    n_blocks = len(outs)
+
+    def block_quality(Y_blk, start):
+        Pb = P[:, start : start + Y_blk.shape[0]]
+        G = stft_sir_matrix(Y_blk, Pb)
+        # best-permutation purity: product of max-gains
+        return max(G[0, 0] * G[1, 1], G[0, 1] * G[1, 0]) / (
+            max(G[0, 0] * G[1, 0] + G[0, 1] * G[1, 1], 1e-12)
+        )
+
+    early = np.mean([block_quality(outs[i], i * B) for i in range(2, 5)])
+    late = np.mean(
+        [block_quality(outs[i], i * B) for i in range(n_blocks - 3, n_blocks)]
+    )
+    assert late > 3 * early, (early, late)
+    # filters accessible and finite
+    W = sep.filters
+    assert np.all(np.isfinite(W))
+
+
+def test_online_iss_state_persists():
+    rng = np.random.default_rng(100)
+    mix, _, _ = make_mixture(rng, n_src=2, n_mics=2, n_samples=16000, snr_db=25)
+    X = stft_mixture(mix, nfft=256)
+    sep = OnlineAuxIVAISS(n_freq=X.shape[1], n_chan=2)
+    W0 = sep.filters.copy()
+    sep.process(X[:20])
+    W1 = sep.filters
+    assert not np.allclose(W0, W1)  # state advanced
