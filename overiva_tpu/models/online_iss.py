@@ -31,10 +31,14 @@ __all__ = ["online_iss_init", "online_iss_step"]
 _EPS = 1e-15
 
 
+@partial(jax.jit, static_argnames=("F", "M", "dtype"))
 def online_iss_init(F: int, M: int, dtype=jnp.complex64):
+    # jitted: complex constants must be created on-device (the axon backend
+    # cannot transfer host complex arrays)
     rdtype = jnp.float32 if dtype == jnp.complex64 else jnp.float64
+    eye = jnp.eye(M, dtype=rdtype).astype(dtype)
     return {
-        "W": jnp.tile(jnp.eye(M, dtype=dtype), (F, 1, 1)),
+        "W": jnp.tile(eye, (F, 1, 1)),
         "num": jnp.zeros((M, F, M), dtype),
         "den": jnp.zeros((M, F, M), rdtype),
         "zn": jnp.zeros((F, M), dtype),

@@ -1,0 +1,40 @@
+"""Demo-CLI smoke test: the user-facing arg surface keeps working (CPU)."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_oneshot_cli_runs(tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["OVERIVA_FORCE_CPU"] = "1"
+    out = subprocess.run(
+        [
+            sys.executable, str(REPO / "examples" / "oneshot.py"),
+            "-a", "auxiva-iss", "-m", "2", "-s", "2",
+            "--nfft", "256", "--duration", "1.5", "--n_iter", "10",
+            "--save", str(tmp_path / "wavs"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "SDR" in out.stdout
+    assert (tmp_path / "wavs" / "sep_0.wav").exists()
+
+
+def test_oneshot_cli_rejects_unknown_algo():
+    out = subprocess.run(
+        [sys.executable, str(REPO / "examples" / "oneshot.py"), "-a", "fastica"],
+        capture_output=True,
+        text=True,
+        timeout=60,
+        cwd=REPO,
+    )
+    assert out.returncode != 0
