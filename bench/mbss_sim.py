@@ -77,8 +77,9 @@ def simulate_instance(cfg: dict, seed: int, n_mics: int, n_src: int, rt60: float
 
     room = ShoeBox(cfg["room_dim"], fs=fs, rt60=rt60, seed=seed)
     center = np.asarray(cfg["room_dim"]) / 2
+    # sources on an arc AROUND the mic array: equidistant, random orientation
     src_pos = semi_circle_layout(
-        [center[0], center[1] + 2.0, 1.5], np.pi / 2, 2.5, n_src,
+        [center[0], center[1], 1.5], np.pi / 2, 2.5, n_src,
         rot=rng.uniform(-np.pi, np.pi),
     )
     # clamp inside the room

@@ -80,11 +80,13 @@ def main(argv=None):
     n = int(args.duration * args.fs)
     n_out = 1 if args.algo.startswith("ogive") else args.srcs
 
-    # room: ~WASPAA'19 setup — sources on an arc, circular array in the middle
+    # room: ~WASPAA'19 setup — sources on an arc AROUND the mic array
+    # (equidistant: centering the arc away from the array makes per-source
+    # levels wildly unequal)
     room_dim = [8.0, 9.0, 3.0]
     room = ShoeBox(room_dim, fs=args.fs, rt60=args.rt60, seed=args.seed)
-    src_pos = semi_circle_layout([4.0, 6.5, 1.5], np.pi / 2, 2.5, args.srcs,
-                                 rot=-np.pi / 2)
+    src_pos = semi_circle_layout([4.0, 4.0, 1.5], np.pi / 2, 2.5, args.srcs,
+                                 rot=np.pi / 2)
     for k in range(args.srcs):
         room.add_source(src_pos[k], speech_like(n, args.fs, seed=args.seed * 97 + k))
     room.add_mic_array(circular_mic_array([4.0, 4.0, 1.5], 0.05, args.mics))
