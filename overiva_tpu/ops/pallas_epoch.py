@@ -125,8 +125,6 @@ def _gauss_solve_refs(ar_s, ai_s, br_s, bi_s, m: int, k: int):
 
 
 def _make_kernel(T: int, M: int, N: int):
-    RHS = max(1, M - N)
-
     def kernel(
         phi_ref, xr_ref, xi_ref, cr_ref, ci_ref, wr_in, wi_in,
         wr_out, wi_out,

@@ -27,7 +27,8 @@ def save_filters(path, W, **meta) -> Path:
         W_imag=np.imag(W),
         meta=json.dumps(meta),
     )
-    return path if path.suffix == ".npz" else path.with_suffix(path.suffix + ".npz")
+    # np.savez appends .npz when missing
+    return path if path.suffix == ".npz" else Path(str(path) + ".npz")
 
 
 def load_filters(path):
