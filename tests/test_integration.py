@@ -117,6 +117,19 @@ def test_config4_gauss_variants(algo, kwargs):
     assert np.min(sir) > 6.0, sir
 
 
+@pytest.mark.parametrize("seed", [211, 212, 213])
+def test_parity_gate_across_seeds(seed):
+    """The 0.1 dB gate is not a single-seed accident (config 2 shape)."""
+    rng = np.random.default_rng(seed)
+    mix, premix, _ = make_mixture(rng, n_src=2, n_mics=5, n_samples=20000, snr_db=25)
+    parity_case(
+        mix, premix,
+        lambda X: oracle.overiva(X, n_src=2, n_iter=15),
+        lambda X: api.overiva(X, n_src=2, n_iter=15),
+        nfft=256,
+    )
+
+
 def test_auxiva_pca_pipeline():
     rng = np.random.default_rng(105)
     mix, premix, _ = make_mixture(rng, n_src=2, n_mics=5, n_samples=24000, snr_db=25)
