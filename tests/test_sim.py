@@ -77,7 +77,24 @@ def test_positions_validated():
 def test_layout_shapes():
     pts = semi_circle_layout([3, 3, 1.5], np.pi, 2.0, 5)
     assert pts.shape == (5, 3)
+    # equidistant from the arc center
+    d = np.linalg.norm(pts[:, :2] - [3, 3], axis=1)
+    np.testing.assert_allclose(d, 2.0, atol=1e-12)
     mics = circular_mic_array([3, 3, 1.5], 0.1, 8)
     assert mics.shape == (8, 3)
     d = np.linalg.norm(mics[:, :2] - [3, 3], axis=1)
     np.testing.assert_allclose(d, 0.1, atol=1e-12)
+
+
+def test_random_and_grid_layouts():
+    from overiva_tpu.sim import grid_layout, random_layout
+
+    rng = np.random.default_rng(0)
+    pts = random_layout([0, 0, 0], [4, 5, 3], 10, rng=rng, margin=0.5)
+    assert pts.shape == (10, 3)
+    assert np.all(pts >= 0.5) and np.all(pts <= np.array([3.5, 4.5, 2.5]))
+
+    g = grid_layout([1, 1, 0], [3, 3, 0], 6, z=1.2)
+    assert g.shape == (6, 3)
+    np.testing.assert_allclose(g[:, 2], 1.2)
+    assert g[:, 0].min() >= 1 and g[:, 0].max() <= 3
