@@ -73,8 +73,8 @@ def _gauss_solve_refs(ar_s, ai_s, br_s, bi_s, m: int, k: int):
         Ai = ai_s[:, :m, :m]
         Br = br_s[:, :m, :k]
         Bi = bi_s[:, :m, :k]
-        colr = jnp.sum(Ar * _col_mask(Ar.shape, 2, i), axis=2)  # (BF, m)
-        coli = jnp.sum(Ai * _col_mask(Ai.shape, 2, i), axis=2)
+        colr = Ar[:, :, i]  # (BF, m) — static slice, stays 2-D
+        coli = Ai[:, :, i]
         mag = colr * colr + coli * coli
         for s in sels:  # exclude already-used pivot rows
             mag = mag - s * (mag + 1.0)
@@ -136,20 +136,21 @@ def _make_kernel(T: int, M: int, N: int):
         inv_T = 1.0 / T
 
         def matmul_into(ar, ai, Ar, Ai, Br, Bi, m, l, n):
-            """ar[:, :m, :n] = (A @ B) for (BF,m,l)@(BF,l,n) value operands."""
-            for j in range(n):
-                accr = jnp.zeros(Ar.shape[:2], jnp.float32)
-                acci = jnp.zeros(Ai.shape[:2], jnp.float32)
-                for t in range(l):
-                    bsel = _col_mask(Br.shape, 2, j) * _col_mask(Br.shape, 1, t)
-                    bcr = jnp.sum(Br * bsel, axis=2).sum(axis=1, keepdims=True)
-                    bci = jnp.sum(Bi * bsel, axis=2).sum(axis=1, keepdims=True)
-                    a_r = jnp.sum(Ar * _col_mask(Ar.shape, 2, t), axis=2)
-                    a_i = jnp.sum(Ai * _col_mask(Ai.shape, 2, t), axis=2)
-                    accr = accr + (a_r * bcr - a_i * bci)
-                    acci = acci + (a_r * bci + a_i * bcr)
-                ar[:, :m, j : j + 1] = accr[:, :, None]
-                ai[:, :m, j : j + 1] = acci[:, :, None]
+            """ar[:, :m, :n] = (A @ B) for (BF,m,l)@(BF,l,n) value operands.
+
+            Contracts as an l-step broadcast FMA: A's column t (BF, m, 1)
+            times B's row t (BF, 1, n) — static slices stay >= 2-D."""
+            accr = jnp.zeros((Ar.shape[0], m, n), jnp.float32)
+            acci = jnp.zeros((Ai.shape[0], m, n), jnp.float32)
+            for t in range(l):
+                acr = Ar[:, :m, t : t + 1]  # (BF, m, 1)
+                aci = Ai[:, :m, t : t + 1]
+                brr = Br[:, t : t + 1, :n]  # (BF, 1, n)
+                bri = Bi[:, t : t + 1, :n]
+                accr = accr + (acr * brr - aci * bri)
+                acci = acci + (acr * bri + aci * brr)
+            ar[:, :m, :n] = accr
+            ai[:, :m, :n] = acci
 
         def update_J():
             # tmp = W1 @ Cx into the tableau scratch (A part cols :N, rhs N:)
@@ -157,32 +158,29 @@ def _make_kernel(T: int, M: int, N: int):
             W1i = wi_out[:, :N, :]
             Cr = cr_ref[:]
             Ci = ci_ref[:]
-            for j in range(M):
-                accr = jnp.zeros(W1r.shape[:2], jnp.float32)
-                acci = jnp.zeros(W1i.shape[:2], jnp.float32)
-                for t in range(M):
-                    csel = _col_mask(Cr.shape, 2, j) * _col_mask(Cr.shape, 1, t)
-                    ccr = jnp.sum(Cr * csel, axis=2).sum(axis=1, keepdims=True)
-                    cci = jnp.sum(Ci * csel, axis=2).sum(axis=1, keepdims=True)
-                    a_r = jnp.sum(W1r * _col_mask(W1r.shape, 2, t), axis=2)
-                    a_i = jnp.sum(W1i * _col_mask(W1i.shape, 2, t), axis=2)
-                    accr = accr + (a_r * ccr - a_i * cci)
-                    acci = acci + (a_r * cci + a_i * ccr)
-                if j < N:
-                    ar_s[:, :N, j : j + 1] = accr[:, :, None]
-                    ai_s[:, :N, j : j + 1] = acci[:, :, None]
-                else:
-                    br_s[:, :N, j - N : j - N + 1] = accr[:, :, None]
-                    bi_s[:, :N, j - N : j - N + 1] = acci[:, :, None]
+            tr = jnp.zeros((W1r.shape[0], N, M), jnp.float32)
+            ti = jnp.zeros((W1i.shape[0], N, M), jnp.float32)
+            for t in range(M):
+                acr = W1r[:, :, t : t + 1]
+                aci = W1i[:, :, t : t + 1]
+                brr = Cr[:, t : t + 1, :]
+                bri = Ci[:, t : t + 1, :]
+                tr = tr + (acr * brr - aci * bri)
+                ti = ti + (acr * bri + aci * brr)
+            ar_s[:, :N, :N] = tr[:, :, :N]
+            ai_s[:, :N, :N] = ti[:, :, :N]
+            br_s[:, :N, : M - N] = tr[:, :, N:]
+            bi_s[:, :N, : M - N] = ti[:, :, N:]
             JHr, JHi = _gauss_solve_refs(ar_s, ai_s, br_s, bi_s, N, M - N)
             # W[N+r, c] = conj(JH[c, r])
             for r_ in range(M - N):
                 for c_ in range(N):
-                    jsel = _col_mask(JHr.shape, 1, c_) * _col_mask(JHr.shape, 2, r_)
-                    vr = jnp.sum(JHr * jsel, axis=2).sum(axis=1, keepdims=True)
-                    vi = jnp.sum(JHi * jsel, axis=2).sum(axis=1, keepdims=True)
-                    wr_out[:, N + r_ : N + r_ + 1, c_ : c_ + 1] = vr[:, :, None]
-                    wi_out[:, N + r_ : N + r_ + 1, c_ : c_ + 1] = -vi[:, :, None]
+                    wr_out[:, N + r_ : N + r_ + 1, c_ : c_ + 1] = JHr[
+                        :, c_ : c_ + 1, r_ : r_ + 1
+                    ]
+                    wi_out[:, N + r_ : N + r_ + 1, c_ : c_ + 1] = -JHi[
+                        :, c_ : c_ + 1, r_ : r_ + 1
+                    ]
 
         for k in range(N):
             ph = phi_ref[:, k : k + 1][:, :, None]  # (T, 1, 1)
