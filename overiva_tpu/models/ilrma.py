@@ -7,6 +7,11 @@ per source, IS-NMF multiplicative updates of the rank-K variance model,
 an iterative-projection update with per-(t,f) weights, and unit-power
 rescaling. One XLA program for the whole run; the NMF matmuls
 (F,K)@(K,T) batch naturally onto the MXU.
+
+Bin-sharded execution (``axis_name``): the NMF basis rows, the weighted
+covariance, and the IP solve are bin-local; the activation update's
+aggregates (two (K, T) sums over bins), and the unit-power rescale (one
+scalar) are psum'd — H therefore stays bitwise-identical across shards.
 """
 
 from __future__ import annotations
@@ -21,58 +26,81 @@ from ..ops.covariance import weighted_covariance_tf
 from ..ops.linalg import PRECISION, solve_vec
 from .overiva import demix
 
-__all__ = ["ilrma_iterations"]
+__all__ = ["ilrma_iterations", "_ilrma_epoch"]
 
 _EPS = 1e-15
+
+
+def _ilrma_epoch(X, state, axis_name=None, n_freq=None, bin_mask=None):
+    """One ILRMA epoch. X: (T,F,M); state = (W (F,M,M), B (N,F,K), H (N,K,T))."""
+    T, F, M = X.shape
+    N = M
+    F_total = n_freq or F
+    W, B, H = state
+    Y = demix(X, W)
+    P = jnp.abs(Y) ** 2  # (T, F, N)
+    mask = None if bin_mask is None else bin_mask.astype(P.dtype)[:, None]  # (F,1)
+
+    for k in range(N):
+        Pk = P[:, :, k].T  # (F, T)
+        Bk, Hk = B[k], H[k]
+        R = jnp.matmul(Bk, Hk, precision=PRECISION) + _EPS
+
+        # basis update: bin-local
+        Bk = Bk * jnp.sqrt(
+            jnp.matmul(Pk / R**2, Hk.T, precision=PRECISION)
+            / (jnp.matmul(1.0 / R, Hk.T, precision=PRECISION) + _EPS)
+        )
+        Bk = jnp.maximum(Bk, _EPS)
+        R = jnp.matmul(Bk, Hk, precision=PRECISION) + _EPS
+
+        # activation update: aggregates over ALL bins (psum when sharded)
+        hn = Pk / R**2
+        hd = 1.0 / R
+        if mask is not None:
+            hn = hn * mask
+            hd = hd * mask
+        num = jnp.matmul(Bk.T, hn, precision=PRECISION)  # (K, T)
+        den = jnp.matmul(Bk.T, hd, precision=PRECISION)
+        if axis_name is not None:
+            num = lax.psum(num, axis_name)
+            den = lax.psum(den, axis_name)
+        Hk = Hk * jnp.sqrt(num / (den + _EPS))
+        Hk = jnp.maximum(Hk, _EPS)
+        R = jnp.matmul(Bk, Hk, precision=PRECISION) + _EPS
+
+        # IP update with per-(t,f) weights: bin-local
+        V = weighted_covariance_tf(X, (1.0 / R).T)
+        WV = jnp.matmul(W, V, precision=PRECISION)
+        e_k = jnp.zeros((M,), X.dtype).at[k].set(1.0)
+        w = solve_vec(WV, jnp.broadcast_to(e_k, (F, M)))
+        denom = jnp.einsum(
+            "fm,fmn,fn->f", jnp.conj(w), V, w, precision=PRECISION
+        )
+        w = w / jnp.sqrt(jnp.real(denom)).astype(w.real.dtype)[:, None]
+
+        # unit-power rescale: global mean over (t, f)
+        yk = jnp.einsum("fm,tfm->tf", jnp.conj(w), X, precision=PRECISION)
+        p_yk = jnp.abs(yk) ** 2
+        if mask is not None:
+            p_yk = p_yk * mask.T
+        s = jnp.sum(p_yk)
+        if axis_name is not None:
+            s = lax.psum(s, axis_name)
+        lam = jnp.sqrt(s / (T * F_total)) + _EPS
+        w = w / lam.astype(w.real.dtype)
+        W = W.at[:, k, :].set(jnp.conj(w))
+        B = B.at[k].set(Bk / (lam**2).astype(Bk.dtype))
+        H = H.at[k].set(Hk)
+        P = P.at[:, :, k].set(jnp.abs(yk / lam.astype(yk.real.dtype)) ** 2)
+
+    return W, B, H
 
 
 @partial(jax.jit, static_argnames=("n_iter",))
 def ilrma_iterations(X, W, B, H, n_iter: int):
     """X: (T,F,M); W: (F,M,M); B: (N,F,K) >= 0; H: (N,K,T) >= 0."""
-    T, F, M = X.shape
-    N = M
-
-    def epoch(_, state):
-        W, B, H = state
-        Y = demix(X, W)
-        P = jnp.abs(Y) ** 2  # (T, F, N)
-
-        for k in range(N):
-            Pk = P[:, :, k].T  # (F, T)
-            Bk, Hk = B[k], H[k]
-            R = jnp.matmul(Bk, Hk, precision=PRECISION) + _EPS
-
-            Bk = Bk * jnp.sqrt(
-                jnp.matmul(Pk / R**2, Hk.T, precision=PRECISION)
-                / (jnp.matmul(1.0 / R, Hk.T, precision=PRECISION) + _EPS)
-            )
-            Bk = jnp.maximum(Bk, _EPS)
-            R = jnp.matmul(Bk, Hk, precision=PRECISION) + _EPS
-            Hk = Hk * jnp.sqrt(
-                jnp.matmul(Bk.T, Pk / R**2, precision=PRECISION)
-                / (jnp.matmul(Bk.T, 1.0 / R, precision=PRECISION) + _EPS)
-            )
-            Hk = jnp.maximum(Hk, _EPS)
-            R = jnp.matmul(Bk, Hk, precision=PRECISION) + _EPS
-
-            V = weighted_covariance_tf(X, (1.0 / R).T)
-            WV = jnp.matmul(W, V, precision=PRECISION)
-            e_k = jnp.zeros((M,), X.dtype).at[k].set(1.0)
-            w = solve_vec(WV, jnp.broadcast_to(e_k, (F, M)))
-            denom = jnp.einsum(
-                "fm,fmn,fn->f", jnp.conj(w), V, w, precision=PRECISION
-            )
-            w = w / jnp.sqrt(jnp.real(denom)).astype(w.real.dtype)[:, None]
-
-            yk = jnp.einsum("fm,tfm->tf", jnp.conj(w), X, precision=PRECISION)
-            lam = jnp.sqrt(jnp.mean(jnp.abs(yk) ** 2)) + _EPS
-            w = w / lam.astype(w.real.dtype)
-            W = W.at[:, k, :].set(jnp.conj(w))
-            B = B.at[k].set(Bk / (lam**2).astype(Bk.dtype))
-            H = H.at[k].set(Hk)
-            P = P.at[:, :, k].set(jnp.abs(yk / lam.astype(yk.real.dtype)) ** 2)
-
-        return W, B, H
-
-    W, B, H = lax.fori_loop(0, n_iter, epoch, (W, B, H))
+    W, B, H = lax.fori_loop(
+        0, n_iter, lambda _, s: _ilrma_epoch(X, s), (W, B, H)
+    )
     return W, B, H

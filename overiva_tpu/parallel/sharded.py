@@ -27,13 +27,20 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from ..models import auxiva_iss as _iss
+from ..models import ilrma as _ilrma
 from ..models import ogive as _ogive
 from ..models import overiva as _core
 from ..ops import projection as _proj
 from ..ops.covariance import covariance
 from .mesh import AXIS_BINS, AXIS_MIX
 
-__all__ = ["pad_bins", "sharded_overiva", "sharded_ogive", "sharded_auxiva_iss"]
+__all__ = [
+    "pad_bins",
+    "sharded_overiva",
+    "sharded_ogive",
+    "sharded_auxiva_iss",
+    "sharded_ilrma",
+]
 
 
 def pad_bins(F: int, n_shards: int):
@@ -144,6 +151,91 @@ def sharded_auxiva_iss(
         X_batch = jnp.concatenate([X_batch, reps], axis=2)
     Y = _sharded_iss_padded(
         X_batch, jnp.asarray(mask), mesh, int(n_iter), model, bool(proj_back), int(F)
+    )
+    return Y[:, :, :F, :]
+
+
+def _ilrma_one(X, B0, H0, bin_mask, n_iter, n_freq_total, proj_back):
+    """Per-shard, per-mixture ILRMA on the local bin slice."""
+    T, Fl, M = X.shape
+    W = jnp.tile(jnp.eye(M, dtype=X.dtype), (Fl, 1, 1))
+    W = jax.lax.pcast(W, (AXIS_MIX, AXIS_BINS), to="varying")
+
+    def epoch(_, s):
+        return _ilrma._ilrma_epoch(
+            X, s, axis_name=AXIS_BINS, n_freq=n_freq_total, bin_mask=bin_mask
+        )
+
+    W, B, H = jax.lax.fori_loop(0, n_iter, epoch, (W, B0, H0))
+    Y = _core.demix(X, W)
+    if proj_back:
+        Y = _proj.apply_projection_back(Y, X[:, :, 0])
+    return Y
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "n_iter", "proj_back", "n_freq_total"),
+)
+def _sharded_ilrma_padded(X, B0, H0, bin_mask, mesh, n_iter, proj_back, n_freq_total):
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(AXIS_MIX, None, AXIS_BINS, None),
+            P(AXIS_MIX, None, AXIS_BINS, None),
+            P(AXIS_MIX, None, None, None),
+            P(AXIS_BINS),
+        ),
+        out_specs=P(AXIS_MIX, None, AXIS_BINS, None),
+    )
+    def run(Xl, B0l, H0l, maskl):
+        sep = lambda x, b0, h0: _ilrma_one(
+            x, b0, h0, maskl, n_iter, n_freq_total, proj_back
+        )
+        return jax.vmap(sep)(Xl, B0l, H0l)
+
+    return run(X, B0, H0, bin_mask)
+
+
+def sharded_ilrma(
+    mesh,
+    X_batch,
+    n_iter: int = 20,
+    n_components: int = 2,
+    seed: int = 0,
+    proj_back: bool = True,
+):
+    """Determined ILRMA over the mesh. X_batch: (B, T, F, M) complex.
+
+    NMF init matches ``api.ilrma(seed=seed + b)`` per batch element; basis
+    rows for padded bins replicate the last real bin (their contribution is
+    masked out of the psum'd activation updates).
+    """
+    B, T, F, M = X_batch.shape
+    n_mix = mesh.shape[AXIS_MIX]
+    n_bins = mesh.shape[AXIS_BINS]
+    if B % n_mix != 0:
+        raise ValueError(f"batch {B} not divisible by mix axis {n_mix}")
+    F_pad, mask = pad_bins(F, n_bins)
+    if F_pad != F:
+        reps = jnp.repeat(X_batch[:, :, -1:, :], F_pad - F, axis=2)
+        X_batch = jnp.concatenate([X_batch, reps], axis=2)
+
+    rdtype = np.float32 if X_batch.dtype == jnp.complex64 else np.float64
+    B0 = np.empty((B, M, F_pad, n_components), rdtype)
+    H0 = np.empty((B, M, n_components, T), rdtype)
+    for b in range(B):
+        rng = np.random.default_rng(seed + b)
+        Bb = (rng.random((M, F, n_components)) + 0.1).astype(rdtype)
+        B0[b, :, :F] = Bb
+        B0[b, :, F:] = Bb[:, -1:, :]
+        H0[b] = (rng.random((M, n_components, T)) + 0.1).astype(rdtype)
+
+    # B stays real nonneg but the core multiplies into complex paths; keep f
+    Y = _sharded_ilrma_padded(
+        X_batch, jnp.asarray(B0), jnp.asarray(H0), jnp.asarray(mask),
+        mesh, int(n_iter), bool(proj_back), int(F),
     )
     return Y[:, :, :F, :]
 

@@ -70,6 +70,18 @@ def test_sharded_iss_matches_single_device(batch, mesh_shape):
         np.testing.assert_allclose(Y[b], Yref, rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+def test_sharded_ilrma_matches_single_device(batch, mesh_shape):
+    from overiva_tpu import api
+    from overiva_tpu.parallel.sharded import sharded_ilrma
+
+    mesh = make_mesh(*mesh_shape, devices=jax.devices()[: mesh_shape[0] * mesh_shape[1]])
+    Y = np.asarray(sharded_ilrma(mesh, jnp.asarray(batch), n_iter=5, seed=7))
+    for b in range(batch.shape[0]):
+        Yref = api.ilrma(batch[b], n_iter=5, seed=7 + b, dtype=np.complex128)
+        np.testing.assert_allclose(Y[b], Yref, rtol=1e-5, atol=1e-7)
+
+
 @pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 2)])
 def test_sharded_ogive_matches_single_device(batch, mesh_shape):
     from overiva_tpu import api
