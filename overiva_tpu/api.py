@@ -118,11 +118,16 @@ def overiva(
     callback=None,
     callback_every=10,
     dtype=None,
+    chunk_frames=None,
 ):
     """OverIVA (AuxIVA when n_src == n_chan). Reference: ``overiva.py``.
 
     X: (n_frames, n_freq, n_chan) complex ndarray. Returns Y
     (n_frames, n_freq, n_src) ndarray [, W_hat (n_freq, n_chan, n_chan)].
+
+    ``chunk_frames``: stream the weighted-covariance accumulation over frame
+    blocks of this size — bounds memory for very long recordings
+    (SURVEY.md §5.7) at identical results.
     """
     X = np.asarray(X)
     T, F, M = X.shape
@@ -135,15 +140,20 @@ def overiva(
     W0d = _to_device(W0, cdtype) if W0 is not None else Xd[:0]  # placeholder
     W_hat, Cx = _prepare(Xd, W0d, N, bool(init_eig), N < M, W0 is not None)
 
+    chunk = int(chunk_frames) if chunk_frames else None
     if callback is None:
-        W_hat = _core.overiva_iterations(Xd, W_hat, Cx, N, int(n_iter), model)
+        W_hat = _core.overiva_iterations(
+            Xd, W_hat, Cx, N, int(n_iter), model, chunk_frames=chunk
+        )
     else:
         done = 0
         while done < n_iter:
             re, im = _snapshot(Xd, W_hat, N)
             callback(merge_np(np.asarray(re), np.asarray(im)))
             step = min(callback_every, n_iter - done)
-            W_hat = _core.overiva_iterations(Xd, W_hat, Cx, N, step, model)
+            W_hat = _core.overiva_iterations(
+                Xd, W_hat, Cx, N, step, model, chunk_frames=chunk
+            )
             done += step
 
     re, im = _finalize(Xd, W_hat, N, bool(proj_back))

@@ -20,7 +20,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.covariance import covariance, weighted_covariance
+from ..ops.covariance import (
+    covariance,
+    weighted_covariance,
+    weighted_covariance_chunked,
+)
 from ..ops.linalg import PRECISION, eigh, mat_h, solve_mat, solve_vec
 from .source_models import activations_from_power, power
 
@@ -81,7 +85,15 @@ def init_w_hat(X, n_src: int, init_eig: bool, Cx=None, W0=None, dtype=None):
 
 
 def _epoch(
-    X, W_hat, Cx, n_src: int, model: str, axis_name=None, n_freq=None, bin_mask=None
+    X,
+    W_hat,
+    Cx,
+    n_src: int,
+    model: str,
+    axis_name=None,
+    n_freq=None,
+    bin_mask=None,
+    chunk_frames=None,
 ):
     """One OverIVA/AuxIVA epoch: weights + N iterative-projection updates.
 
@@ -105,7 +117,12 @@ def _epoch(
         jnp.matmul(W_hat[:, :N, :], Cx, precision=PRECISION) if N < M else None
     )
     for k in range(N):  # static unroll — IP updates are order-dependent
-        V = weighted_covariance(X, phi[:, k])  # (F, M, M)
+        # chunk_frames: stream the frame axis (SURVEY.md §5.7) so long
+        # recordings never materialize the (T, F, M) weighted temporary
+        if chunk_frames:
+            V = weighted_covariance_chunked(X, phi[:, k], chunk=chunk_frames)
+        else:
+            V = weighted_covariance(X, phi[:, k])  # (F, M, M)
         WV = jnp.matmul(W_hat, V, precision=PRECISION)
         e_k = jnp.zeros((M,), X.dtype).at[k].set(1.0)
         w = solve_vec(WV, jnp.broadcast_to(e_k, (F, M)))  # (F, M)
@@ -122,7 +139,10 @@ def _epoch(
 
 
 @partial(
-    jax.jit, static_argnames=("n_src", "n_iter", "model", "axis_name", "n_freq")
+    jax.jit,
+    static_argnames=(
+        "n_src", "n_iter", "model", "axis_name", "n_freq", "chunk_frames"
+    ),
 )
 def overiva_iterations(
     X,
@@ -134,12 +154,15 @@ def overiva_iterations(
     axis_name=None,
     n_freq=None,
     bin_mask=None,
+    chunk_frames=None,
 ):
     """Run ``n_iter`` fused epochs. X: (T,F,M); W_hat: (F,M,M); Cx: (F,M,M)."""
     return lax.fori_loop(
         0,
         n_iter,
-        lambda _, W: _epoch(X, W, Cx, n_src, model, axis_name, n_freq, bin_mask),
+        lambda _, W: _epoch(
+            X, W, Cx, n_src, model, axis_name, n_freq, bin_mask, chunk_frames
+        ),
         W_hat,
         unroll=False,
     )

@@ -128,6 +128,14 @@ def test_callback_cadence_and_values(mixtures):
         np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-8)
 
 
+def test_chunked_frames_identical(mixtures):
+    """Streaming the covariance over frame blocks is bit-equivalent math."""
+    _, X52 = mixtures
+    Ya = api.overiva(X52, n_src=2, n_iter=6, dtype=C128)
+    Yb = api.overiva(X52, n_src=2, n_iter=6, dtype=C128, chunk_frames=32)
+    np.testing.assert_allclose(Yb, Ya, rtol=1e-9, atol=1e-11)
+
+
 def test_c64_default_close(mixtures):
     """Single-precision path lands near the f64 oracle (full 0.1 dB SDR gate
     lives in the integration tests)."""
