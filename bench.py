@@ -60,6 +60,12 @@ def main():
         sync(W)
         best = min(best, time.perf_counter() - t0)
 
+    # never record a timing for a broken program
+    re_w, im_w = jax.jit(lambda w: (w.real, w.imag))(W)
+    assert np.isfinite(np.asarray(re_w)).all() and np.isfinite(np.asarray(im_w)).all(), (
+        "benchmark produced non-finite demixing filters"
+    )
+
     value = N_ITER / best
     print(
         json.dumps(
