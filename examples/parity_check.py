@@ -1,0 +1,94 @@
+"""User-runnable parity check: this machine's accelerator vs the NumPy oracle.
+
+Runs the full pipeline (simulate -> STFT -> separate -> iSTFT -> bss_eval)
+twice per algorithm — once through the JAX/TPU path (complex64), once through
+the float64 NumPy oracle — and reports the SDR/SIR deltas against the
+framework's 0.1 dB acceptance gate (BASELINE.md).
+
+    python examples/parity_check.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from overiva_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import overiva_tpu.oracle as oracle
+from overiva_tpu import api
+from overiva_tpu.metrics import bss_eval_sources
+from overiva_tpu.sim import ShoeBox, circular_mic_array, semi_circle_layout, speech_like
+
+
+def run_pipeline(separate, mix, premix, nfft):
+    hop = nfft // 2
+    X = oracle.analysis(oracle.stft_pad(mix, nfft, hop), nfft, hop)
+    Y = separate(X)
+    y = oracle.synthesis(Y, nfft, hop)[nfft - hop :][: mix.shape[0]]
+    refs = premix[:, 0, : mix.shape[0]]
+    if Y.shape[2] == refs.shape[0]:
+        sdr, sir, _, _ = bss_eval_sources(refs, y.T)
+        return sdr, sir
+    best = max(range(refs.shape[0]), key=lambda j: abs(np.dot(refs[j], y[:, 0])))
+    pair = np.stack([refs[best], refs.sum(0) - refs[best]])
+    est = np.stack([y[:, 0], mix[:, 0] - y[:, 0]])
+    sdr, sir, _, _ = bss_eval_sources(pair, est, compute_permutation=False)
+    return sdr[:1], sir[:1]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--quick", action="store_true", help="2 algorithms only")
+    p.add_argument("--seed", type=int, default=7)
+    args = p.parse_args(argv)
+
+    fs, n = 16000, 64000
+    room = ShoeBox([7.0, 6.0, 3.0], fs=fs, rt60=0.22, seed=args.seed)
+    for k, pos in enumerate(semi_circle_layout([3.5, 3.0, 1.5], np.pi / 2, 2.2, 2, rot=np.pi / 2)):
+        room.add_source(pos, speech_like(n, fs, seed=args.seed * 13 + k))
+    room.add_mic_array(circular_mic_array([3.5, 3.0, 1.5], 0.05, 5))
+    premix, noise = room.simulate(return_premix=True, snr=25.0)
+    mix = (premix.sum(axis=0) + noise).T[:n]
+
+    cases = [
+        ("overiva M=5,N=2", lambda X: oracle.overiva(X, n_src=2, n_iter=15),
+         lambda X: api.overiva(X, n_src=2, n_iter=15)),
+        ("auxiva M=N=2", lambda X: oracle.auxiva(X[:, :, :2], n_iter=15),
+         lambda X: api.auxiva(X[:, :, :2], n_iter=15)),
+    ]
+    if not args.quick:
+        cases += [
+            ("overiva-gauss", lambda X: oracle.overiva(X, n_src=2, n_iter=15, model="gauss"),
+             lambda X: api.overiva(X, n_src=2, n_iter=15, model="gauss")),
+            ("auxiva_pca", lambda X: oracle.auxiva_pca(X, n_src=2, n_iter=15),
+             lambda X: api.auxiva_pca(X, n_src=2, n_iter=15)),
+            ("auxiva_iss M=N=2", lambda X: oracle.auxiva_iss(X[:, :, :2], n_iter=15),
+             lambda X: api.auxiva_iss(X[:, :, :2], n_iter=15)),
+            ("ogive N=1", lambda X: oracle.ogive(X, n_iter=60, step_size=0.05, tol=0),
+             lambda X: api.ogive(X, n_iter=60, step_size=0.05, tol=0)),
+        ]
+
+    print(f"{'algorithm':20s} {'|dSDR| dB':>10s} {'|dSIR| dB':>10s}  gate 0.1 dB")
+    worst = 0.0
+    for name, f_oracle, f_jax in cases:
+        sdr_o, sir_o = run_pipeline(f_oracle, mix, premix, 1024)
+        sdr_j, sir_j = run_pipeline(f_jax, mix, premix, 1024)
+        dsdr = float(np.max(np.abs(sdr_j - sdr_o)))
+        dsir = float(np.max(np.abs(sir_j - sir_o)))
+        worst = max(worst, dsdr, dsir)
+        flag = "OK" if max(dsdr, dsir) < 0.1 else "FAIL"
+        print(f"{name:20s} {dsdr:10.4f} {dsir:10.4f}  {flag}")
+    print(f"\nworst delta: {worst:.4f} dB -> {'PASS' if worst < 0.1 else 'FAIL'}")
+    return 0 if worst < 0.1 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
