@@ -16,7 +16,7 @@ def test_oneshot_cli_runs(tmp_path):
         [
             sys.executable, str(REPO / "examples" / "oneshot.py"),
             "-a", "auxiva-iss", "-m", "2", "-s", "2",
-            "--nfft", "256", "--duration", "1.0", "--n_iter", "6",
+            "--nfft", "128", "--duration", "1.0", "--n_iter", "5",
             "--save", str(tmp_path / "wavs"),
         ],
         capture_output=True,
