@@ -116,13 +116,15 @@ def one_instance(cfg, seed, n_mics, n_src, rt60, snr, simulated=None):
             runtime = time.perf_counter() - t0
             y = api.stft_synthesis(Y, nfft)[nfft - hop :][: mix.shape[0]]
             if Y.shape[2] == n_src and n_src > 1:
+                # reference-ordered rows (mir_eval convention), so the mix
+                # scores (also reference-ordered) align without perm indexing
                 sdr, sir, sar, perm = bss_eval_sources(refs, y.T)
                 results[name] = {
                     "runtime": runtime,
                     "sdr": sdr.tolist(),
                     "sir": sir.tolist(),
-                    "sdr_improvement": (sdr - sdr_mix[perm]).tolist(),
-                    "sir_improvement": (sir - sir_mix[perm]).tolist(),
+                    "sdr_improvement": (sdr - sdr_mix).tolist(),
+                    "sir_improvement": (sir - sir_mix).tolist(),
                 }
             else:  # single output (ogive or n_src == 1)
                 best = max(
@@ -143,7 +145,9 @@ def one_instance(cfg, seed, n_mics, n_src, rt60, snr, simulated=None):
                 results[name] = {
                     "runtime": runtime,
                     "sdr": [float(sdr[0])],
-                    "sir": [float(sir[0])],
+                    # N=1 instances have no interference: SIR is +inf and
+                    # meaningless — such rows are scored by SDR only
+                    "sir": [float(sir[0])] if np.isfinite(sir[0]) else [],
                 }
         except Exception as e:  # a failed algo shouldn't kill the instance
             results[name] = {"error": f"{type(e).__name__}: {e}"}
@@ -215,12 +219,14 @@ def aggregate(out_dir: Path, plot: bool = False):
         for algo, res in rec["results"].items():
             if "error" in res:
                 continue
+            sir = np.asarray(res.get("sir", []), dtype=float)
+            sir = sir[np.isfinite(sir)]  # N=1 rows carry no SIR (see above)
             rows.append(
                 {
                     "algo": algo, "n_mics": rec["n_mics"], "n_src": rec["n_src"],
                     "rt60": rec["rt60"], "snr": rec["snr"],
                     "sdr": float(np.mean(res["sdr"])),
-                    "sir": float(np.mean(res["sir"])),
+                    "sir": float(np.mean(sir)) if sir.size else float("nan"),
                     "runtime": res["runtime"],
                 }
             )

@@ -120,11 +120,12 @@ def main(argv=None):
             refs, np.tile(mix[:, 0], (args.srcs, 1))
         )
         print(f"\n{args.algo}: {dt:.2f}s")
-        for k in range(args.srcs):
+        for j in range(args.srcs):
+            # mir_eval convention: row j scores reference j vs estimate perm[j]
             print(
-                f"  out {k} -> src {perm[k]}: SDR {sdr[k]:6.2f} dB "
-                f"(mix {sdr0[perm[k]]:6.2f})  SIR {sir[k]:6.2f} dB "
-                f"(mix {sir0[perm[k]]:6.2f})"
+                f"  src {j} <- out {perm[j]}: SDR {sdr[j]:6.2f} dB "
+                f"(mix {sdr0[j]:6.2f})  SIR {sir[j]:6.2f} dB "
+                f"(mix {sir0[j]:6.2f})"
             )
     else:
         best = max(range(args.srcs), key=lambda j: abs(np.dot(refs[j], y[:, 0])))

@@ -117,8 +117,9 @@ def bss_eval_sources(
     reference_sources, estimated_sources: (nsrc, nsampl) float arrays (the
     estimate count must equal the reference count, as in mir_eval).
 
-    Returns (sdr, sir, sar, perm) — each (nsrc,) arrays; estimate k is matched
-    to reference perm[k]. The permutation maximizes mean SIR.
+    Returns (sdr, sir, sar, perm) — each (nsrc,) arrays ordered by REFERENCE
+    source (mir_eval semantics): sdr[j] scores reference j against estimate
+    perm[j], and the permutation maximizes mean SIR.
     """
     refs = np.atleast_2d(np.asarray(reference_sources, dtype=np.float64))
     ests = np.atleast_2d(np.asarray(estimated_sources, dtype=np.float64))
@@ -151,14 +152,15 @@ def bss_eval_sources(
             idx,
         )
 
+    # perm maps reference j -> estimate perm[j] (mir_eval convention)
     best, best_perm = -np.inf, None
     for perm in itertools.permutations(range(nsrc)):
-        mean_sir = np.mean(sir_m[np.arange(nsrc), perm])
+        mean_sir = np.mean(sir_m[perm, np.arange(nsrc)])
         if mean_sir > best:
             best, best_perm = mean_sir, perm
     perm = np.asarray(best_perm)
     idx = np.arange(nsrc)
-    return sdr_m[idx, perm], sir_m[idx, perm], sar_m[idx, perm], perm
+    return sdr_m[perm, idx], sir_m[perm, idx], sar_m[perm, idx], perm
 
 
 def bss_eval_images(reference_images: np.ndarray, estimated_images: np.ndarray, **kw):

@@ -34,6 +34,8 @@ def analysis(x, nfft: int, hop: int, win: np.ndarray | None = None):
     if win is None:
         win = hann(nfft)
     win = jnp.asarray(win, dtype=x.dtype)
+    if x.shape[0] < nfft:  # host-side (shapes are static under trace)
+        raise ValueError("signal shorter than one frame")
     T = n_frames_of(x.shape[0], nfft, hop)
     idx = jnp.arange(nfft)[None, :] + hop * jnp.arange(T)[:, None]
     frames = x[idx, :] * win[None, :, None]  # (T, nfft, M)

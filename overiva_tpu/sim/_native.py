@@ -1,13 +1,15 @@
 """ctypes loader/builder for the native C++ RIR engine (native/rir.cpp).
 
-Builds the shared library on first use with g++ (cached by source mtime),
-falls back silently to the NumPy path when no toolchain is available.
+Builds the shared library on first use with g++, validated by a sha256
+sidecar of the source (so a stale or foreign-host .so is never loaded),
+and falls back silently to the NumPy path when no toolchain is available.
 Disable with OVERIVA_TPU_NATIVE=0.
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 from pathlib import Path
@@ -31,8 +33,15 @@ def _build_and_load() -> ctypes.CDLL | None:
     if os.environ.get("OVERIVA_TPU_NATIVE", "1") == "0" or not _SRC.exists():
         return None
     so = _BUILD / "librir.so"
+    sidecar = _BUILD / "librir.so.sha256"
     try:
-        if not so.exists() or so.stat().st_mtime < _SRC.stat().st_mtime:
+        src_hash = hashlib.sha256(_SRC.read_bytes()).hexdigest()
+        stale = (
+            not so.exists()
+            or not sidecar.exists()
+            or sidecar.read_text().strip() != src_hash
+        )
+        if stale:
             _BUILD.mkdir(exist_ok=True)
             subprocess.run(
                 [
@@ -42,6 +51,7 @@ def _build_and_load() -> ctypes.CDLL | None:
                 check=True,
                 capture_output=True,
             )
+            sidecar.write_text(src_hash)
         lib = ctypes.CDLL(str(so))
     except (OSError, subprocess.SubprocessError):
         return None

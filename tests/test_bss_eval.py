@@ -61,9 +61,10 @@ def test_interference_sets_sir(sources):
 
 
 def test_permutation_recovered(sources):
-    est = sources[[2, 0, 1]]
+    est = sources[[2, 0, 1]]  # estimate 0 is source 2, est 1 is src 0, est 2 is src 1
     sdr, sir, sar, perm = bss_eval_sources(sources, est)
-    np.testing.assert_array_equal(perm, [2, 0, 1])
+    # mir_eval convention: perm[j] = index of the estimate matching reference j
+    np.testing.assert_array_equal(perm, [1, 2, 0])
     assert np.all(sdr > 100)
 
 
