@@ -1,11 +1,20 @@
 """Benchmark: OverIVA iteration throughput at the BASELINE config.
 
-Measures fused OverIVA iterations/sec at M=8 mics, N=3 sources, 4096-pt STFT
-(F=2049 bins), T=128 frames (~16 s of 16 kHz audio) on the default JAX device
-(real TPU under the driver). Prints ONE JSON line:
+Headline metric (stable name/protocol for the driver): fused OverIVA
+iterations/sec at M=8 mics, N=3 sources, 4096-pt STFT (F=2049 bins), T=128
+frames, measured as 30 iterations per program execution including dispatch
+overhead — the way a user-facing 30-iteration separation call runs.
 
-    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+Extra rows (in the same single JSON line under "extra"):
+  - overiva_marginal_it_s: (t(230)-t(30))/200 marginal rate — per-iteration
+    cost with the ~23 ms fixed dispatch+sync cost of the axon tunnel
+    cancelled (docs/DESIGN.md §2b)
+  - overiva_T512_it_s: the realistic frame count (SURVEY.md §3.2 puts
+    T~300-700); same 30-iter protocol
+  - auxiva_iss_it_s: the solve-free speed tier at the same M=8/F=2049
+  - pca_iss_it_s: PCA to N=3 + ISS, the fast overdetermined path
 
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 vs_baseline is against the BASELINE.json target of 100 iterations/sec on one
 v5e chip (the reference publishes no machine numbers — BASELINE.md).
 """
@@ -16,57 +25,108 @@ import time
 import numpy as np
 
 
+def _make_mix(rng, T, F, M):
+    re = rng.standard_normal((T, F, M)).astype(np.float32)
+    im = rng.standard_normal((T, F, M)).astype(np.float32)
+    # speech-like temporal gating so activations are realistic
+    gate = np.where(rng.random(T) < 0.5, 1.0, 0.1).astype(np.float32)
+    return re * gate[:, None, None], im * gate[:, None, None]
+
+
 def main():
     import jax
+    import jax.numpy as jnp
 
     from overiva_tpu.api import _prepare
+    from overiva_tpu.models.auxiva_iss import auxiva_iss_iterations
     from overiva_tpu.models.overiva import overiva_iterations
     from overiva_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
 
-    T, F, M, N = 128, 2049, 8, 3
+    F, M, N = 2049, 8, 3
     N_ITER = 30
-
-    rng = np.random.default_rng(0)
-    re = rng.standard_normal((T, F, M)).astype(np.float32)
-    im = rng.standard_normal((T, F, M)).astype(np.float32)
-    # speech-like temporal gating so activations are realistic
-    gate = np.where(rng.random(T) < 0.5, 1.0, 0.1).astype(np.float32)
-    re *= gate[:, None, None]
-    im *= gate[:, None, None]
-
-    import jax.numpy as jnp
-
-    X = jax.jit(lambda r, i: r + 1j * i)(re, im)
-    W0 = jax.jit(lambda x: x[:0])(X)  # empty placeholder
-    W_hat, Cx = _prepare(X, W0, N, False, True, False)
 
     # block_until_ready does not actually block on the axon backend — force a
     # host fetch of a scalar to synchronize
     fetch = jax.jit(lambda w: jnp.sum(w.real))
 
     def sync(w):
+        if isinstance(w, tuple):
+            w = w[0]
         return float(np.asarray(fetch(w)))
 
-    # warmup: compile + the axon tunnel's slow first execution
-    W = overiva_iterations(X, W_hat, Cx, N, N_ITER, "laplace")
-    sync(W)
+    def timed(thunk, repeats=3):
+        out = thunk()  # warmup: compile + the axon tunnel's slow first exec
+        sync(out)
+        best = np.inf
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = thunk()
+            sync(out)
+            best = min(best, time.perf_counter() - t0)
+        return best, out
 
-    best = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        W = overiva_iterations(X, W_hat, Cx, N, N_ITER, "laplace")
-        sync(W)
-        best = min(best, time.perf_counter() - t0)
+    def check_finite(W):
+        re_w, im_w = jax.jit(lambda w: (w.real, w.imag))(W)
+        assert (
+            np.isfinite(np.asarray(re_w)).all()
+            and np.isfinite(np.asarray(im_w)).all()
+        ), "benchmark produced non-finite demixing filters"
 
-    # never record a timing for a broken program
-    re_w, im_w = jax.jit(lambda w: (w.real, w.imag))(W)
-    assert np.isfinite(np.asarray(re_w)).all() and np.isfinite(np.asarray(im_w)).all(), (
-        "benchmark produced non-finite demixing filters"
+    rng = np.random.default_rng(0)
+    extra = {}
+
+    # ---- headline: OverIVA-IP, T=128, 30 iters incl dispatch ----
+    re, im = _make_mix(rng, 128, F, M)
+    X = jax.jit(lambda r, i: r + 1j * i)(re, im)
+    W0 = jax.jit(lambda x: x[:0])(X)
+    W_hat, Cx = _prepare(X, W0, N, False, True, False)
+
+    t30, W = timed(lambda: overiva_iterations(X, W_hat, Cx, N, N_ITER, "laplace"))
+    check_finite(W)
+    value = N_ITER / t30
+
+    # marginal rate: cancel the fixed per-execution dispatch+sync cost
+    t230, W = timed(
+        lambda: overiva_iterations(X, W_hat, Cx, N, 230, "laplace"), repeats=2
     )
+    check_finite(W)
+    extra["overiva_marginal_it_s"] = round(200 / (t230 - t30), 1)
 
-    value = N_ITER / best
+    # ---- realistic frame count T=512 ----
+    re5, im5 = _make_mix(rng, 512, F, M)
+    X5 = jax.jit(lambda r, i: r + 1j * i)(re5, im5)
+    W05 = jax.jit(lambda x: x[:0])(X5)
+    W_hat5, Cx5 = _prepare(X5, W05, N, False, True, False)
+    t5, W = timed(lambda: overiva_iterations(X5, W_hat5, Cx5, N, N_ITER, "laplace"))
+    check_finite(W)
+    extra["overiva_T512_it_s"] = round(N_ITER / t5, 1)
+
+    # ---- AuxIVA-ISS speed tier (determined M=N=8, T=128) ----
+    Weye = jax.jit(
+        lambda x: jnp.broadcast_to(jnp.eye(M, dtype=x.dtype), (F, M, M))
+    )(X)
+    t_iss, (Wi, _) = timed(
+        lambda: auxiva_iss_iterations(X, Weye, N_ITER, "laplace")
+    )
+    check_finite(Wi)
+    extra["auxiva_iss_it_s"] = round(N_ITER / t_iss, 1)
+
+    # ---- PCA (M=8 -> N=3) + ISS, the fast overdetermined path ----
+    from overiva_tpu.models import auxiva_pca as _pca_mod
+
+    pca_jit = jax.jit(lambda x: _pca_mod.pca(x, N, False), static_argnums=())
+    Xr = pca_jit(X)
+    WeyeN = jax.jit(
+        lambda x: jnp.broadcast_to(jnp.eye(N, dtype=x.dtype), (F, N, N))
+    )(Xr)
+    t_pca, (Wr, _) = timed(
+        lambda: auxiva_iss_iterations(pca_jit(X), WeyeN, N_ITER, "laplace")
+    )
+    check_finite(Wr)
+    extra["pca_iss_it_s"] = round(N_ITER / t_pca, 1)
+
     print(
         json.dumps(
             {
@@ -74,6 +134,7 @@ def main():
                 "value": round(value, 2),
                 "unit": "iter/s",
                 "vs_baseline": round(value / 100.0, 3),
+                "extra": extra,
             }
         )
     )

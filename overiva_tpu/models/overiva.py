@@ -25,7 +25,16 @@ from ..ops.covariance import (
     weighted_covariance,
     weighted_covariance_chunked,
 )
-from ..ops.linalg import PRECISION, eigh, mat_h, solve_mat, solve_vec
+from ..ops.fminor import (
+    gauss_solve_fm,
+    mat_h_fm,
+    matmul_fm,
+    solve_mat_fm,
+    to_fmajor,
+    to_fminor,
+    vecmat_fm,
+)
+from ..ops.linalg import PRECISION, eigh, mat_h, solve_mat
 from .source_models import activations_from_power, power
 
 __all__ = [
@@ -111,11 +120,24 @@ def _epoch(
         pw = lax.psum(pw, axis_name)
     _, phi = activations_from_power(pw, n_freq or F, model)
 
+    # The update machinery runs in bin-minor layout (ops/fminor.py): the
+    # (F, tiny, tiny) solve/normalize/OC tensors of the F-major form use
+    # <6 % of each vreg; bin-minor puts F in the lanes and cuts the chain
+    # ~4x on a v5e (docs/DESIGN.md §2). demix/wcov stay F-major (batched
+    # MXU contractions are already the fast form for them).
+    Wp = to_fminor(W_hat)  # (M, M, F)
+    Cxp = to_fminor(Cx) if N < M else None
     # tmp = W1 @ Cx for the OC update, maintained incrementally: each IP step
     # changes exactly one row of W1, so only that row of tmp is recomputed
-    tmp = (
-        jnp.matmul(W_hat[:, :N, :], Cx, precision=PRECISION) if N < M else None
-    )
+    tmp = matmul_fm(Wp[:N], Cxp) if N < M else None  # (N, M, F)
+    e = jnp.eye(M, dtype=X.dtype)
+
+    def set_row(A, k, row):
+        # static-index row replacement via concat: .at[k].set / strided
+        # block .at[].set lower to scatters here, which cost ~0.7 ms each
+        # on (tiny, tiny, F) tensors — concat of static slices is a copy
+        return jnp.concatenate([A[:k], row[None], A[k + 1 :]], axis=0)
+
     for k in range(N):  # static unroll — IP updates are order-dependent
         # chunk_frames: stream the frame axis (SURVEY.md §5.7) so long
         # recordings never materialize the (T, F, M) weighted temporary
@@ -123,19 +145,27 @@ def _epoch(
             V = weighted_covariance_chunked(X, phi[:, k], chunk=chunk_frames)
         else:
             V = weighted_covariance(X, phi[:, k])  # (F, M, M)
-        WV = jnp.matmul(W_hat, V, precision=PRECISION)
-        e_k = jnp.zeros((M,), X.dtype).at[k].set(1.0)
-        w = solve_vec(WV, jnp.broadcast_to(e_k, (F, M)))  # (F, M)
-        denom = jnp.einsum(
-            "fm,fmn,fn->f", jnp.conj(w), V, w, precision=PRECISION
-        )
-        w = w / jnp.sqrt(jnp.real(denom)).astype(w.real.dtype)[:, None]
-        W_hat = W_hat.at[:, k, :].set(jnp.conj(w))
+        Vp = to_fminor(V)  # (M, M, F)
+        WV = matmul_fm(Wp, Vp)
+        rhs = jnp.broadcast_to(e[:, k, None, None], (M, 1, F))
+        w = gauss_solve_fm(WV, rhs)[:, 0, :]  # (M, F)
+        denom = jnp.sum(
+            jnp.conj(w)[:, None, :] * Vp * w[None, :, :], axis=(0, 1)
+        )  # (F,)
+        w = w / jnp.sqrt(jnp.real(denom)).astype(w.real.dtype)[None, :]
+        Wp = set_row(Wp, k, jnp.conj(w))
         if N < M:
-            row = jnp.einsum("fm,fmn->fn", jnp.conj(w), Cx, precision=PRECISION)
-            tmp = tmp.at[:, k, :].set(row)
-            W_hat = _update_J(W_hat, Cx, N, tmp=tmp)
-    return W_hat
+            row = vecmat_fm(jnp.conj(w), Cxp)  # (M, F)
+            tmp = set_row(tmp, k, row)
+            J_H = solve_mat_fm(tmp[:, :N, :], tmp[:, N:, :])  # (N, M-N, F)
+            # rebuild the background rows [J, -I] with static concats (the
+            # -I block is constant) instead of a strided block .at[].set
+            negI = jnp.broadcast_to(
+                (-jnp.eye(M - N, dtype=Wp.dtype))[:, :, None], (M - N, M - N, F)
+            )
+            bottom = jnp.concatenate([mat_h_fm(J_H), negI], axis=1)
+            Wp = jnp.concatenate([Wp[:N], bottom], axis=0)
+    return to_fmajor(Wp)
 
 
 @partial(

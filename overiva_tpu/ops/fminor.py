@@ -1,0 +1,151 @@
+"""Bin-minor ("planar") batched small linear algebra: shapes (m, n, F).
+
+TPU layout rationale: XLA tiles the LAST TWO dims of an array into (8, 128)
+vregs. The hot-loop tensors of the IVA family are huge stacks of tiny
+matrices; in the natural F-major layout ``(F, m, n)`` the (m, n) trailing
+dims occupy one vreg per bin at m·n/1024 utilization — 0.9 % for the 3x3 OC
+solves, 6 % for 8x8 — so every elementwise pass costs ~16-100x its useful
+work. Storing bins minor, ``(m, n, F)``, puts the F≈2049 batch axis in the
+lanes (>99 % full) and the small static indices in the major dims.
+
+All contractions here are broadcast-multiply + reduce over an explicit small
+axis — never ``dot``/``einsum`` — so XLA keeps the layout instead of
+normalizing to a batched GEMM (which would transpose back to F-major).
+Measured on a v5e: the OverIVA update chain (8x8 solve + OC) drops ~4x
+end-to-end vs the F-major forms in ``ops/linalg.py`` (docs/DESIGN.md §2).
+
+Same mask-pivoted Gauss-Jordan math as :mod:`overiva_tpu.ops.linalg`
+(reference behavior per SURVEY.md §2.3; pivot selection is identical, so the
+two paths agree to f32 roundoff).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = [
+    "mat_h_fm",
+    "matmul_fm",
+    "matvec_fm",
+    "vecmat_fm",
+    "gauss_solve_fm",
+    "solve_vec_fm",
+    "solve_mat_fm",
+    "to_fminor",
+    "to_fmajor",
+]
+
+
+def to_fminor(A):
+    """(F, m, n) -> (m, n, F)."""
+    return jnp.transpose(A, (1, 2, 0))
+
+
+def to_fmajor(A):
+    """(m, n, F) -> (F, m, n)."""
+    return jnp.transpose(A, (2, 0, 1))
+
+
+def mat_h_fm(A):
+    """Hermitian transpose: (m, n, F) -> (n, m, F)."""
+    return jnp.conj(jnp.transpose(A, (1, 0, 2)))
+
+
+def matmul_fm(A, B):
+    """(m, k, F) @ (k, n, F) -> (m, n, F) by broadcast-reduce (full f32)."""
+    return jnp.sum(A[:, :, None, :] * B[None, :, :, :], axis=1)
+
+
+def matvec_fm(A, x):
+    """(m, n, F) @ (n, F) -> (m, F)."""
+    return jnp.sum(A * x[None, :, :], axis=1)
+
+
+def vecmat_fm(x, A):
+    """(m, F) @ (m, n, F) -> (n, F)."""
+    return jnp.sum(x[:, None, :] * A, axis=0)
+
+
+def _adj2_solve(A, B):
+    det = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
+    inv = jnp.stack(
+        [
+            jnp.stack([A[1, 1], -A[0, 1]], axis=0),
+            jnp.stack([-A[1, 0], A[0, 0]], axis=0),
+        ],
+        axis=0,
+    ) / det[None, None, :]
+    return matmul_fm(inv, B)
+
+
+def _adj3_solve(A, B):
+    a, b, c = A[0, 0], A[0, 1], A[0, 2]
+    d, e, f = A[1, 0], A[1, 1], A[1, 2]
+    g, h, i = A[2, 0], A[2, 1], A[2, 2]
+    co00 = e * i - f * h
+    co01 = c * h - b * i
+    co02 = b * f - c * e
+    co10 = f * g - d * i
+    co11 = a * i - c * g
+    co12 = c * d - a * f
+    co20 = d * h - e * g
+    co21 = b * g - a * h
+    co22 = a * e - b * d
+    det = a * co00 + b * co10 + c * co20
+    inv = jnp.stack(
+        [
+            jnp.stack([co00, co01, co02], axis=0),
+            jnp.stack([co10, co11, co12], axis=0),
+            jnp.stack([co20, co21, co22], axis=0),
+        ],
+        axis=0,
+    ) / det[None, None, :]
+    return matmul_fm(inv, B)
+
+
+def gauss_solve_fm(A, B):
+    """Batched solve A X = B, bin-minor: A (m, m, F), B (m, k, F) -> (m, k, F).
+
+    Mask-pivoted Gauss-Jordan unrolled over the static m (same elimination
+    and pivot choice as ``linalg.gauss_solve``); m <= 3 uses closed-form
+    adjugate inverses. No gathers anywhere: pivot selection, extraction and
+    the final row permutation are all one-hot mask reductions.
+    """
+    m = A.shape[0]
+    if m == 1:
+        return B / A[0, 0][None, None, :]
+    if m == 2:
+        return _adj2_solve(A, B)
+    if m == 3:
+        return _adj3_solve(A, B)
+    F = A.shape[2]
+    k = B.shape[1]
+    Ab = jnp.concatenate([A, B], axis=1)  # (m, m+k, F)
+    avail = jnp.ones((m, F), bool)
+    sels = []
+    rows = jnp.arange(m)
+    for i in range(m):
+        mag = jnp.where(avail, jnp.abs(Ab[:, i, :]), -1.0)  # (m, F)
+        p = jnp.argmax(mag, axis=0).astype(jnp.int32)  # (F,)
+        sel = rows[:, None] == p[None, :]  # (m, F) one-hot over rows
+        piv = jnp.sum(jnp.where(sel[:, None, :], Ab, 0.0), axis=0)  # (m+k, F)
+        piv = piv / piv[i][None, :]
+        factor = jnp.where(sel, 0.0, Ab[:, i, :])  # (m, F)
+        Ab = Ab - factor[:, None, :] * piv[None, :, :]
+        Ab = jnp.where(sel[:, None, :], piv[None, :, :], Ab)
+        avail = avail & ~sel
+        sels.append(sel)
+    # solution i lives in tableau row sels[i]; apply the permutation as one
+    # mask contraction (solution rows are orthogonal one-hots)
+    P = jnp.stack(sels, axis=0).astype(Ab.real.dtype)  # (m, m, F)
+    return jnp.sum(P[:, :, None, :] * Ab[None, :, m:, :], axis=1)  # (m, k, F)
+
+
+def solve_vec_fm(A, b):
+    """A x = b: A (m, m, F), b (m, F) -> (m, F)."""
+    return gauss_solve_fm(A, b[:, None, :])[:, 0, :]
+
+
+def solve_mat_fm(A, B):
+    """A X = B with matrix rhs, bin-minor."""
+    return gauss_solve_fm(A, B)
