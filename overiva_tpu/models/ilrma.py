@@ -6,7 +6,9 @@ Mirrors the NumPy oracle (``overiva_tpu/oracle/ilrma.py``): per epoch and
 per source, IS-NMF multiplicative updates of the rank-K variance model,
 an iterative-projection update with per-(t,f) weights, and unit-power
 rescaling. One XLA program for the whole run; the NMF matmuls
-(F,K)@(K,T) batch naturally onto the MXU.
+(F,K)@(K,T) batch naturally onto the MXU, while the IP solve/normalize
+machinery runs bin-minor (ops/fminor.py, docs/DESIGN.md §2b) and all
+per-source state updates are scatter-free concat rebuilds.
 
 Bin-sharded execution (``axis_name``): the NMF basis rows, the weighted
 covariance, and the IP solve are bin-local; the activation update's
@@ -23,12 +25,18 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.covariance import weighted_covariance_tf
-from ..ops.linalg import PRECISION, solve_vec
+from ..ops.fminor import gauss_solve_fm, matmul_fm, to_fminor
+from ..ops.linalg import PRECISION
 from .overiva import demix
 
 __all__ = ["ilrma_iterations", "_ilrma_epoch"]
 
 _EPS = 1e-15
+
+
+def _set_row(A, k, row):
+    """Scatter-free static-index row replacement (docs/DESIGN.md §2b)."""
+    return jnp.concatenate([A[:k], row[None], A[k + 1 :]], axis=0)
 
 
 def _ilrma_epoch(X, state, axis_name=None, n_freq=None, bin_mask=None):
@@ -38,11 +46,13 @@ def _ilrma_epoch(X, state, axis_name=None, n_freq=None, bin_mask=None):
     F_total = n_freq or F
     W, B, H = state
     Y = demix(X, W)
-    P = jnp.abs(Y) ** 2  # (T, F, N)
+    P = jnp.transpose(jnp.abs(Y) ** 2, (2, 1, 0))  # (N, F, T)
     mask = None if bin_mask is None else bin_mask.astype(P.dtype)[:, None]  # (F,1)
+    Wp = to_fminor(W)  # (M, M, F) — bin-minor for the IP chain
+    e = jnp.eye(M, dtype=X.dtype)
 
     for k in range(N):
-        Pk = P[:, :, k].T  # (F, T)
+        Pk = P[k]  # (F, T)
         Bk, Hk = B[k], H[k]
         R = jnp.matmul(Bk, Hk, precision=PRECISION) + _EPS
 
@@ -69,18 +79,19 @@ def _ilrma_epoch(X, state, axis_name=None, n_freq=None, bin_mask=None):
         Hk = jnp.maximum(Hk, _EPS)
         R = jnp.matmul(Bk, Hk, precision=PRECISION) + _EPS
 
-        # IP update with per-(t,f) weights: bin-local
+        # IP update with per-(t,f) weights: bin-local, bin-minor machinery
         V = weighted_covariance_tf(X, (1.0 / R).T)
-        WV = jnp.matmul(W, V, precision=PRECISION)
-        e_k = jnp.zeros((M,), X.dtype).at[k].set(1.0)
-        w = solve_vec(WV, jnp.broadcast_to(e_k, (F, M)))
-        denom = jnp.einsum(
-            "fm,fmn,fn->f", jnp.conj(w), V, w, precision=PRECISION
-        )
-        w = w / jnp.sqrt(jnp.real(denom)).astype(w.real.dtype)[:, None]
+        Vp = to_fminor(V)  # (M, M, F)
+        WV = matmul_fm(Wp, Vp)
+        rhs = jnp.broadcast_to(e[:, k, None, None], (M, 1, F))
+        w = gauss_solve_fm(WV, rhs)[:, 0, :]  # (M, F)
+        denom = jnp.sum(
+            jnp.conj(w)[:, None, :] * Vp * w[None, :, :], axis=(0, 1)
+        )  # (F,)
+        w = w / jnp.sqrt(jnp.real(denom)).astype(w.real.dtype)[None, :]
 
         # unit-power rescale: global mean over (t, f)
-        yk = jnp.einsum("fm,tfm->tf", jnp.conj(w), X, precision=PRECISION)
+        yk = jnp.einsum("mf,tfm->tf", jnp.conj(w), X, precision=PRECISION)
         p_yk = jnp.abs(yk) ** 2
         if mask is not None:
             p_yk = p_yk * mask.T
@@ -89,12 +100,13 @@ def _ilrma_epoch(X, state, axis_name=None, n_freq=None, bin_mask=None):
             s = lax.psum(s, axis_name)
         lam = jnp.sqrt(s / (T * F_total)) + _EPS
         w = w / lam.astype(w.real.dtype)
-        W = W.at[:, k, :].set(jnp.conj(w))
-        B = B.at[k].set(Bk / (lam**2).astype(Bk.dtype))
-        H = H.at[k].set(Hk)
-        P = P.at[:, :, k].set(jnp.abs(yk / lam.astype(yk.real.dtype)) ** 2)
+        Wp = _set_row(Wp, k, jnp.conj(w))
+        B = _set_row(B, k, Bk / (lam**2).astype(Bk.dtype))
+        H = _set_row(H, k, Hk)
+        # (P is NOT written back: every source reads only its own column,
+        # and P is recomputed from the updated W at the next epoch start)
 
-    return W, B, H
+    return jnp.transpose(Wp, (2, 0, 1)), B, H
 
 
 @partial(jax.jit, static_argnames=("n_iter",))

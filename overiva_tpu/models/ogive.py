@@ -6,6 +6,11 @@ while loop whose convergence predicate (max relative step < tol) is evaluated
 on-device — no host sync per iteration. Update math mirrors the NumPy oracle
 (``overiva_tpu/oracle/ogive.py``) exactly, including the orthogonal-constraint
 couplings and the reconstructed switching criterion.
+
+The loop body runs bin-minor (docs/DESIGN.md §2b): the (F, M) vector state
+occupies 6 % of each vreg on TPU; carrying (M, F) with bins in the lanes
+makes every gradient step a handful of full-width VPU passes. The public
+state shapes at the jit boundary stay F-major (F, M).
 """
 
 from __future__ import annotations
@@ -17,31 +22,33 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.covariance import covariance
-from ..ops.linalg import PRECISION, eigh, matvec, small_inv
+from ..ops.fminor import matvec_fm, to_fminor
+from ..ops.linalg import PRECISION, eigh, small_inv
 from .source_models import activations_from_power, power
 
 __all__ = ["ogive_init", "ogive_iterations", "ogive_demix"]
 
 
-def _oc_a_from_w(w, Cx):
-    v = matvec(Cx, w)
-    lam = jnp.real(jnp.einsum("fm,fm->f", jnp.conj(w), v, precision=PRECISION))
-    return v / lam.astype(v.real.dtype)[:, None]
+def _oc_a_from_w(wp, Cxp):
+    """Mixing vector from demixing vector, bin-minor: (M,F), (M,M,F)."""
+    v = matvec_fm(Cxp, wp)
+    lam = jnp.real(jnp.sum(jnp.conj(wp) * v, axis=0))
+    return v / lam.astype(v.real.dtype)[None, :]
 
 
-def _oc_w_from_a(a, Cx_inv):
-    v = matvec(Cx_inv, a)
-    lam = jnp.real(jnp.einsum("fm,fm->f", jnp.conj(a), v, precision=PRECISION))
-    return v / lam.astype(v.real.dtype)[:, None]
+def _oc_w_from_a(ap, Cx_invp):
+    v = matvec_fm(Cx_invp, ap)
+    lam = jnp.real(jnp.sum(jnp.conj(ap) * v, axis=0))
+    return v / lam.astype(v.real.dtype)[None, :]
 
 
-def _switch_mask(a, Cx, Cx_inv):
+def _switch_mask(ap, Cxp, Cx_invp):
     """use-mix mask: target-dominant bins (MPDR power > mean channel power)."""
-    M = Cx.shape[-1]
+    M = Cxp.shape[0]
     sigma_s2 = 1.0 / jnp.real(
-        jnp.einsum("fm,fmn,fn->f", jnp.conj(a), Cx_inv, a, precision=PRECISION)
+        jnp.sum(jnp.conj(ap)[:, None, :] * Cx_invp * ap[None, :, :], axis=(0, 1))
     )
-    mean_pow = jnp.real(jnp.trace(Cx, axis1=1, axis2=2)) / M
+    mean_pow = jnp.real(sum(Cxp[m, m] for m in range(M))) / M
     return sigma_s2 > mean_pow
 
 
@@ -55,7 +62,7 @@ def ogive_init(X, init_eig: bool):
         w = jnp.conj(vecs[:, :, -1])  # principal component, demix convention
     else:
         w = jnp.zeros((F, M), X.dtype).at[:, 0].set(1.0)
-    a = _oc_a_from_w(w, Cx)
+    a = _oc_a_from_w(w.T, to_fminor(Cx)).T
     return w, a, Cx, Cx_inv
 
 
@@ -103,58 +110,59 @@ def ogive_iterations(
     T, F, M = X.shape
     limit = epoch0 + n_iter
 
+    # loop-invariant bin-minor copies (transposed once, outside the loop)
+    Xp = jnp.transpose(X, (2, 0, 1))  # (M, T, F)
+    Cxp = to_fminor(Cx)
+    Cx_invp = to_fminor(Cx_inv)
+
     def cond(state):
         _, _, _, epoch, done = state
         return jnp.logical_and(jnp.logical_not(done), epoch < limit)
 
     def body(state):
-        w, a, use_mix, epoch, _ = state
+        wp, ap, use_mix, epoch, _ = state  # wp, ap: (M, F)
 
         if update == "switching":
             use_mix = lax.cond(
                 epoch % switch_every == 0,
-                lambda: _switch_mask(a, Cx, Cx_inv),
+                lambda: _switch_mask(ap, Cxp, Cx_invp),
                 lambda: use_mix,
             )
 
-        y = ogive_demix(X, w)
+        y = sum(jnp.conj(wp)[m][None, :] * Xp[m] for m in range(M))  # (T, F)
         pw = power(y[:, :, None], bin_mask)  # (T, 1) — partial when sharded
         if axis_name is not None:
             pw = lax.psum(pw, axis_name)
         _, phi = activations_from_power(pw, n_freq or F, model)  # (T, 1)
         wy = phi[:, 0].astype(y.real.dtype)[:, None] * jnp.conj(y)
-        xi = jnp.einsum("tf,tfm->fm", wy, X, precision=PRECISION) / T
-        nu = jnp.maximum(
-            jnp.real(jnp.einsum("tf,tf->f", wy, y, precision=PRECISION)) / T,
-            1e-30,
-        )
-        resid = a - xi / nu.astype(xi.real.dtype)[:, None]
+        xi = jnp.sum(wy[None, :, :] * Xp, axis=1) / T  # (M, F)
+        nu = jnp.maximum(jnp.real(jnp.sum(wy * y, axis=0)) / T, 1e-30)
+        resid = ap - xi / nu.astype(xi.real.dtype)[None, :]
+
+        def norm0(v):
+            return jnp.sqrt(jnp.sum(jnp.abs(v) ** 2, axis=0))
 
         mu = step_size.astype(resid.real.dtype)
         if update == "demix":
-            w_new = w + mu * resid
-            a_new = _oc_a_from_w(w_new, Cx)
-            step_norm = jnp.linalg.norm(resid, axis=1)
+            w_new = wp + mu * resid
+            a_new = _oc_a_from_w(w_new, Cxp)
+            step_norm = norm0(resid)
         elif update == "mix":
-            delta_a = matvec(Cx_inv, resid)
-            a_new = a + mu * delta_a
-            w_new = _oc_w_from_a(a_new, Cx_inv)
-            step_norm = jnp.linalg.norm(delta_a, axis=1)
+            delta_a = matvec_fm(Cx_invp, resid)
+            a_new = ap + mu * delta_a
+            w_new = _oc_w_from_a(a_new, Cx_invp)
+            step_norm = norm0(delta_a)
         else:  # switching
-            delta_a = matvec(Cx_inv, resid)
-            w_d = w + mu * resid
-            a_d = _oc_a_from_w(w_d, Cx)
-            a_m = a + mu * delta_a
-            w_m = _oc_w_from_a(a_m, Cx_inv)
-            w_new = jnp.where(use_mix[:, None], w_m, w_d)
-            a_new = jnp.where(use_mix[:, None], a_m, a_d)
-            step_norm = jnp.where(
-                use_mix,
-                jnp.linalg.norm(delta_a, axis=1),
-                jnp.linalg.norm(resid, axis=1),
-            )
+            delta_a = matvec_fm(Cx_invp, resid)
+            w_d = wp + mu * resid
+            a_d = _oc_a_from_w(w_d, Cxp)
+            a_m = ap + mu * delta_a
+            w_m = _oc_w_from_a(a_m, Cx_invp)
+            w_new = jnp.where(use_mix[None, :], w_m, w_d)
+            a_new = jnp.where(use_mix[None, :], a_m, a_d)
+            step_norm = jnp.where(use_mix, norm0(delta_a), norm0(resid))
 
-        rel_f = step_norm / jnp.maximum(jnp.linalg.norm(w_new, axis=1), 1e-30)
+        rel_f = step_norm / jnp.maximum(norm0(w_new), 1e-30)
         if bin_mask is not None:
             rel_f = rel_f * bin_mask.astype(rel_f.dtype)
         rel = jnp.max(rel_f)
@@ -169,5 +177,6 @@ def ogive_iterations(
         # the bins axis) and therefore varies over the remaining mesh axes;
         # the initial carry must carry the same varying-axes type.
         done0 = lax.pcast(done0, done_pvary_axes, to="varying")
-    state = (w, a, use_mix, epoch0, done0)
-    return lax.while_loop(cond, body, state)
+    state = (w.T, a.T, use_mix, epoch0, done0)
+    wp, ap, use_mix, epoch, done = lax.while_loop(cond, body, state)
+    return wp.T, ap.T, use_mix, epoch, done
