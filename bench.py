@@ -113,6 +113,13 @@ def main():
     check_finite(Wi)
     extra["auxiva_iss_it_s"] = round(N_ITER / t_iss, 1)
 
+    # ---- OverIVA-ISS (M=8 -> N=3, solve-free overdetermined) ----
+    t_oiss, (Wo, _) = timed(
+        lambda: auxiva_iss_iterations(X, Weye, N_ITER, "laplace", n_src=N)
+    )
+    check_finite(Wo)
+    extra["overiva_iss_it_s"] = round(N_ITER / t_oiss, 1)
+
     # ---- PCA (M=8 -> N=3) + ISS, the fast overdetermined path ----
     from overiva_tpu.models import auxiva_pca as _pca_mod
 

@@ -34,6 +34,7 @@ _API = {
     "auxiva": "api",
     "auxiva_iss": "api",
     "overiva": "api",
+    "overiva_iss": "api",
     "overiva_batch": "api",
     "separate": "api",
     "ogive": "api",

@@ -212,6 +212,70 @@ def auxiva_iss(
     return Y
 
 
+def overiva_iss(
+    X,
+    n_src=None,
+    n_iter=20,
+    proj_back=True,
+    W0=None,
+    model="laplace",
+    return_filters=False,
+    callback=None,
+    callback_every=10,
+    dtype=None,
+):
+    """Overdetermined IVA by iterative source steering (rank-1, solve-free).
+
+    Extension beyond the reference repo, derived from the unified
+    overdetermined-IVA view (PAPERS.md: arXiv:2003.02458): the M - n_src
+    background outputs carry a stationary unit-Gaussian model (phi = 1).
+    N == M degenerates exactly to :func:`auxiva_iss`. Oracle twin:
+    ``overiva_tpu.oracle.overiva_iss``.
+    """
+    from .models.auxiva_iss import auxiva_iss_iterations
+
+    X = np.asarray(X)
+    T, F, M = X.shape
+    N = M if n_src is None else int(n_src)
+    if not 1 <= N <= M:
+        raise ValueError(f"n_src must be in [1, {M}], got {N}")
+    cdtype = np.dtype(dtype or DEFAULT_DTYPE)
+
+    Xd = _to_device(X, cdtype)
+    if W0 is not None:
+        W0 = np.asarray(W0)
+        if W0.shape[1] != M:  # (F, N, M) target rows into identity
+            full = np.tile(np.eye(M, dtype=W0.dtype), (F, 1, 1))
+            full[:, :N, :] = W0
+            W0 = full
+        W = _to_device(W0, cdtype)
+    else:
+        W = _eye_like(Xd, M)
+
+    if callback is None:
+        W, Yd = auxiva_iss_iterations(Xd, W, int(n_iter), model, n_src=N)
+    else:
+        done = 0
+        Yd = _demix_jit(Xd, W)
+        while done < n_iter:
+            re, im = _snapshot_y(Xd, _take_srcs(Yd, N))
+            callback(merge_np(np.asarray(re), np.asarray(im)))
+            step = min(callback_every, n_iter - done)
+            W, Yd = _iss_chunk(Xd, W, Yd, step, model, N)
+            done += step
+
+    re, im = _finalize_y(Xd, _take_srcs(Yd, N), bool(proj_back))
+    Y = merge_np(np.asarray(re), np.asarray(im))
+    if return_filters:
+        return Y, _to_host(W)
+    return Y
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _take_srcs(Y, n):
+    return Y[:, :, :n]
+
+
 @jax.jit
 def _demix_jit(X, W):
     from .models.overiva import demix
@@ -219,12 +283,15 @@ def _demix_jit(X, W):
     return demix(X, W)
 
 
-@partial(jax.jit, static_argnames=("n_iter", "model"))
-def _iss_chunk(X, W, Y, n_iter, model):
+@partial(jax.jit, static_argnames=("n_iter", "model", "n_src"))
+def _iss_chunk(X, W, Y, n_iter, model, n_src=None):
     from .models.auxiva_iss import _iss_epoch
 
     W, Y = jax.lax.fori_loop(
-        0, n_iter, lambda _, s: _iss_epoch(X, s, model), (W, Y)
+        0,
+        n_iter,
+        lambda _, s: _iss_epoch(X, s, model, n_src=n_src),
+        (W, Y),
     )
     return W, Y
 

@@ -23,14 +23,24 @@ __all__ = ["auxiva_iss_iterations"]
 _EPS = 1e-15
 
 
-def _iss_epoch(X, state, model, axis_name=None, n_freq=None, bin_mask=None):
+def _iss_epoch(
+    X, state, model, axis_name=None, n_freq=None, bin_mask=None, n_src=None
+):
+    """One ISS epoch. ``n_src < M`` gives OverIVA-ISS (oracle twin
+    ``oracle/overiva_iss.py``): the first n_src outputs carry the source
+    model, the rest a stationary unit-Gaussian background (phi = 1)."""
     W, Y = state
     T, F, M = X.shape
-    pw = power(Y, bin_mask)
+    N = M if n_src is None else n_src
+    pw = power(Y[:, :, :N], bin_mask)
     if axis_name is not None:
         pw = lax.psum(pw, axis_name)
     _, phi = activations_from_power(pw, n_freq or F, model)
     phif = phi.astype(Y.real.dtype)
+    if N < M:
+        phif = jnp.concatenate(
+            [phif, jnp.ones((T, M - N), phif.dtype)], axis=1
+        )
 
     for n in range(M):  # static unroll, order-dependent
         yn = Y[:, :, n]
@@ -49,17 +59,30 @@ def _iss_epoch(X, state, model, axis_name=None, n_freq=None, bin_mask=None):
 
 
 @partial(
-    jax.jit, static_argnames=("n_iter", "model", "axis_name", "n_freq")
+    jax.jit,
+    static_argnames=("n_iter", "model", "axis_name", "n_freq", "n_src"),
 )
 def auxiva_iss_iterations(
-    X, W, n_iter: int, model: str, axis_name=None, n_freq=None, bin_mask=None
+    X,
+    W,
+    n_iter: int,
+    model: str,
+    axis_name=None,
+    n_freq=None,
+    bin_mask=None,
+    n_src=None,
 ):
-    """Run n_iter fused ISS epochs. Returns (W, Y)."""
+    """Run n_iter fused ISS epochs (OverIVA-ISS when n_src < M).
+
+    Returns (W, Y) with the full M-channel state; OverIVA-ISS callers take
+    Y[:, :, :n_src]."""
     Y = demix(X, W)
     W, Y = lax.fori_loop(
         0,
         n_iter,
-        lambda _, s: _iss_epoch(X, s, model, axis_name, n_freq, bin_mask),
+        lambda _, s: _iss_epoch(
+            X, s, model, axis_name, n_freq, bin_mask, n_src
+        ),
         (W, Y),
     )
     return W, Y

@@ -13,6 +13,7 @@ from .five import five
 from .models import EPS, MODELS, activations
 from .ogive import ogive
 from .overiva import overiva
+from .overiva_iss import overiva_iss
 from .projection import apply_projection_back, projection_back
 from .stft import analysis, hann, stft_pad, synthesis, synthesis_window
 
@@ -29,6 +30,7 @@ __all__ = [
     "hann",
     "ogive",
     "overiva",
+    "overiva_iss",
     "pca",
     "projection_back",
     "stft_pad",

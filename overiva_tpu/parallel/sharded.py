@@ -40,6 +40,7 @@ __all__ = [
     "sharded_ogive",
     "sharded_auxiva_iss",
     "sharded_ilrma",
+    "sharded_overiva_iss",
 ]
 
 
@@ -99,8 +100,8 @@ def _sharded_overiva_padded(
     return run(X, bin_mask)
 
 
-def _iss_one(X, bin_mask, n_iter, model, n_freq_total, proj_back):
-    """Per-shard, per-mixture AuxIVA-ISS on the local bin slice."""
+def _iss_one(X, bin_mask, n_iter, model, n_freq_total, proj_back, n_src=None):
+    """Per-shard, per-mixture AuxIVA-ISS / OverIVA-ISS on the local bin slice."""
     T, Fl, M = X.shape
     W = jnp.tile(jnp.eye(M, dtype=X.dtype), (Fl, 1, 1))
     # constant init must carry the same varying-axes type as the loop body
@@ -109,10 +110,13 @@ def _iss_one(X, bin_mask, n_iter, model, n_freq_total, proj_back):
 
     def epoch(_, s):
         return _iss._iss_epoch(
-            X, s, model, axis_name=AXIS_BINS, n_freq=n_freq_total, bin_mask=bin_mask
+            X, s, model, axis_name=AXIS_BINS, n_freq=n_freq_total,
+            bin_mask=bin_mask, n_src=n_src,
         )
 
     W, Y = jax.lax.fori_loop(0, n_iter, epoch, (W, Y))
+    if n_src is not None:
+        Y = Y[:, :, :n_src]
     if proj_back:
         Y = _proj.apply_projection_back(Y, X[:, :, 0])
     return Y
@@ -120,9 +124,13 @@ def _iss_one(X, bin_mask, n_iter, model, n_freq_total, proj_back):
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "n_iter", "model", "proj_back", "n_freq_total"),
+    static_argnames=(
+        "mesh", "n_iter", "model", "proj_back", "n_freq_total", "n_src"
+    ),
 )
-def _sharded_iss_padded(X, bin_mask, mesh, n_iter, model, proj_back, n_freq_total):
+def _sharded_iss_padded(
+    X, bin_mask, mesh, n_iter, model, proj_back, n_freq_total, n_src=None
+):
     @partial(
         shard_map,
         mesh=mesh,
@@ -130,16 +138,25 @@ def _sharded_iss_padded(X, bin_mask, mesh, n_iter, model, proj_back, n_freq_tota
         out_specs=P(AXIS_MIX, None, AXIS_BINS, None),
     )
     def run(Xl, maskl):
-        sep = lambda x: _iss_one(x, maskl, n_iter, model, n_freq_total, proj_back)
+        sep = lambda x: _iss_one(
+            x, maskl, n_iter, model, n_freq_total, proj_back, n_src
+        )
         return jax.vmap(sep)(Xl)
 
     return run(X, bin_mask)
 
 
 def sharded_auxiva_iss(
-    mesh, X_batch, n_iter: int = 20, model: str = "laplace", proj_back: bool = True
+    mesh,
+    X_batch,
+    n_iter: int = 20,
+    model: str = "laplace",
+    proj_back: bool = True,
+    n_src: int | None = None,
 ):
-    """Determined AuxIVA-ISS over the mesh. X_batch: (B, T, F, M) complex."""
+    """AuxIVA-ISS (or OverIVA-ISS when ``n_src < M``) over the mesh.
+
+    X_batch: (B, T, F, M) complex; returns (B, T, F, n_src or M)."""
     B, T, F, M = X_batch.shape
     n_mix = mesh.shape[AXIS_MIX]
     n_bins = mesh.shape[AXIS_BINS]
@@ -150,9 +167,21 @@ def sharded_auxiva_iss(
         reps = jnp.repeat(X_batch[:, :, -1:, :], F_pad - F, axis=2)
         X_batch = jnp.concatenate([X_batch, reps], axis=2)
     Y = _sharded_iss_padded(
-        X_batch, jnp.asarray(mask), mesh, int(n_iter), model, bool(proj_back), int(F)
+        X_batch, jnp.asarray(mask), mesh, int(n_iter), model, bool(proj_back),
+        int(F), None if n_src is None else int(n_src),
     )
     return Y[:, :, :F, :]
+
+
+def sharded_overiva_iss(
+    mesh, X_batch, n_src: int, n_iter: int = 20,
+    model: str = "laplace", proj_back: bool = True,
+):
+    """OverIVA-ISS over the mesh (see ``models/auxiva_iss._iss_epoch``)."""
+    return sharded_auxiva_iss(
+        mesh, X_batch, n_iter=n_iter, model=model, proj_back=proj_back,
+        n_src=n_src,
+    )
 
 
 def _ilrma_one(X, B0, H0, bin_mask, n_iter, n_freq_total, proj_back):

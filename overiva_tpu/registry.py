@@ -64,6 +64,10 @@ ALGORITHMS: dict[str, AlgorithmSpec] = {
         AlgorithmSpec("overiva", api.overiva, defaults={"n_iter": 20}),
         AlgorithmSpec("overiva-gauss", _gauss(api.overiva),
                       defaults={"n_iter": 20}),
+        AlgorithmSpec("overiva-iss", api.overiva_iss,
+                      defaults={"n_iter": 20}),
+        AlgorithmSpec("overiva-iss-gauss", _gauss(api.overiva_iss),
+                      defaults={"n_iter": 20}),
         AlgorithmSpec("auxiva_pca", api.auxiva_pca, defaults={"n_iter": 20}),
         AlgorithmSpec("auxiva_pca-iss", api.auxiva_pca,
                       defaults={"n_iter": 20, "inner": "iss"}),
