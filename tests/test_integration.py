@@ -138,6 +138,7 @@ def test_auxiva_pca_pipeline():
         lambda X: oracle.auxiva_pca(X, n_src=2, n_iter=20),
         lambda X: api.auxiva_pca(X, n_src=2, n_iter=20),
         nfft=256,
-        tol=0.15,  # eigh backend differences shift the PCA basis slightly
+        # round 2: back at the 0.1 dB gate — the PCA bases are now
+        # phase-aligned deterministically in both backends
     )
     assert np.min(sir) > 6.0, sir
