@@ -37,7 +37,13 @@ from overiva_tpu import api
 from overiva_tpu.metrics import bss_eval_sources
 from overiva_tpu.oracle import stft_pad
 from overiva_tpu.registry import applicable, get_algorithm
-from overiva_tpu.sim import ShoeBox, circular_mic_array, semi_circle_layout, speech_like
+from overiva_tpu.sim import (
+    ShoeBox,
+    circular_mic_array,
+    load_wav_sources,
+    semi_circle_layout,
+    speech_like,
+)
 
 DEFAULT_CONFIG = {
     "repeats": 3,
@@ -84,8 +90,16 @@ def simulate_instance(cfg: dict, seed: int, n_mics: int, n_src: int, rt60: float
     )
     # clamp inside the room
     src_pos = np.clip(src_pos, 0.3, np.asarray(cfg["room_dim"]) - 0.3)
+    # real speech when the config points at a wav directory (reference:
+    # CMU ARCTIC via pyroomacoustics.datasets); synthetic otherwise
+    if cfg.get("source_dir"):
+        signals = load_wav_sources(cfg["source_dir"], n_src, n, fs, seed=seed)
+    else:
+        signals = np.stack(
+            [speech_like(n, fs, seed=seed * 1009 + k) for k in range(n_src)]
+        )
     for k in range(n_src):
-        room.add_source(src_pos[k], speech_like(n, fs, seed=seed * 1009 + k))
+        room.add_source(src_pos[k], signals[k])
     room.add_mic_array(
         circular_mic_array([center[0], center[1], 1.5], 0.05, n_mics)
     )

@@ -71,6 +71,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save", type=str, default=None, help="dir for output wavs")
     p.add_argument(
+        "--source-dir", type=str, default=None,
+        help="directory of .wav files to use as sources (real speech); "
+        "synthetic speech-like signals are generated when omitted",
+    )
+    p.add_argument(
         "--monitor", type=str, default=None, metavar="PNG",
         help="record per-iteration SDR/SIR via the callback and plot to PNG",
     )
@@ -87,8 +92,19 @@ def main(argv=None):
     room = ShoeBox(room_dim, fs=args.fs, rt60=args.rt60, seed=args.seed)
     src_pos = semi_circle_layout([4.0, 4.0, 1.5], np.pi / 2, 2.5, args.srcs,
                                  rot=np.pi / 2)
+    if args.source_dir:
+        from overiva_tpu.sim import load_wav_sources
+
+        signals = load_wav_sources(
+            args.source_dir, args.srcs, n, args.fs, seed=args.seed
+        )
+    else:
+        signals = np.stack(
+            [speech_like(n, args.fs, seed=args.seed * 97 + k)
+             for k in range(args.srcs)]
+        )
     for k in range(args.srcs):
-        room.add_source(src_pos[k], speech_like(n, args.fs, seed=args.seed * 97 + k))
+        room.add_source(src_pos[k], signals[k])
     room.add_mic_array(circular_mic_array([4.0, 4.0, 1.5], 0.05, args.mics))
 
     premix, noise = room.simulate(return_premix=True, snr=args.snr)

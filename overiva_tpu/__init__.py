@@ -36,6 +36,10 @@ _API = {
     "overiva": "api",
     "overiva_iss": "api",
     "overiva_batch": "api",
+    "auxiva_iss_batch": "api",
+    "overiva_iss_batch": "api",
+    "ogive_batch": "api",
+    "five_batch": "api",
     "separate": "api",
     "ogive": "api",
     "five": "api",

@@ -810,3 +810,144 @@ def overiva_batch(
         Xd, N, int(n_iter), model, bool(init_eig), bool(proj_back)
     )
     return merge_np(np.asarray(re), np.asarray(im))
+
+
+@partial(
+    jax.jit, static_argnames=("n_src", "n_iter", "model", "proj_back")
+)
+def _iss_batch_jit(X, n_src, n_iter, model, proj_back):
+    from .models.auxiva_iss import _iss_epoch
+    from .models.overiva import demix
+    from .ops.projection import apply_projection_back
+
+    M = X.shape[3]
+
+    def one(Xb):
+        W = jnp.broadcast_to(jnp.eye(M, dtype=Xb.dtype), (Xb.shape[1], M, M))
+        Y = demix(Xb, W)
+        _, Y = jax.lax.fori_loop(
+            0, n_iter, lambda _, s: _iss_epoch(Xb, s, model, n_src=n_src), (W, Y)
+        )
+        if n_src is not None:
+            Y = Y[:, :, :n_src]
+        if proj_back:
+            Y = apply_projection_back(Y, Xb[:, :, 0])
+        return Y
+
+    Y = jax.vmap(one)(X)
+    return jnp.real(Y), jnp.imag(Y)
+
+
+def auxiva_iss_batch(
+    X, n_src=None, n_iter=20, proj_back=True, model="laplace", dtype=None
+):
+    """Batch of same-shape mixtures through AuxIVA-ISS (OverIVA-ISS when
+    ``n_src < n_chan``) in ONE fused XLA program.
+
+    X: (batch, n_frames, n_freq, n_chan) complex -> (batch, ..., n_src).
+    Single-chip throughput path; no callbacks (use the per-mixture API)."""
+    X = np.asarray(X)
+    B, T, F, M = X.shape
+    N = M if n_src is None else int(n_src)
+    if not 1 <= N <= M:
+        raise ValueError("need 1 <= n_src <= n_chan")
+    Xd = _to_device(X, np.dtype(dtype or DEFAULT_DTYPE))
+    re, im = _iss_batch_jit(Xd, N, int(n_iter), model, bool(proj_back))
+    return merge_np(np.asarray(re), np.asarray(im))
+
+
+def overiva_iss_batch(X, n_src, **kw):
+    """Alias of :func:`auxiva_iss_batch` with a required n_src."""
+    return auxiva_iss_batch(X, n_src=n_src, **kw)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_iter", "model", "update", "switch_every", "init_eig", "proj_back"
+    ),
+)
+def _ogive_batch_jit(
+    X, step_size, tol, n_iter, model, update, switch_every, init_eig, proj_back
+):
+    from .ops.projection import apply_projection_back
+
+    def one(Xb):
+        w, a, Cx, Cx_inv = _ogive_mod.ogive_init(Xb, init_eig)
+        use_mix = jnp.zeros((Xb.shape[1],), bool)
+        w, a, use_mix, epoch, done = _ogive_mod.ogive_iterations(
+            Xb, w, a, use_mix, Cx, Cx_inv, jnp.asarray(0, jnp.int32),
+            step_size, tol, n_iter, model, update, switch_every,
+        )
+        Y = _ogive_mod.ogive_demix(Xb, w)[:, :, None]
+        if proj_back:
+            Y = apply_projection_back(Y, Xb[:, :, 0])
+        return Y, epoch
+
+    Y, epochs = jax.vmap(one)(X)
+    return jnp.real(Y), jnp.imag(Y), epochs
+
+
+def ogive_batch(
+    X,
+    n_iter=4000,
+    step_size=0.1,
+    tol=1e-3,
+    update="demix",
+    proj_back=True,
+    model="laplace",
+    init_eig=False,
+    switch_every=10,
+    return_epochs=False,
+    dtype=None,
+):
+    """Batch of same-shape mixtures through OGIVE in ONE fused XLA program.
+
+    The per-element early exit is preserved: converged mixtures freeze while
+    the batched while_loop runs on for the rest (models/ogive.py body
+    masking). ``return_epochs`` additionally returns each element's
+    iteration count. X: (batch, T, F, M) -> (batch, T, F, 1)."""
+    if update not in ("demix", "mix", "switching"):
+        raise ValueError(f"unknown update mode {update!r}")
+    X = np.asarray(X)
+    cdtype = np.dtype(dtype or DEFAULT_DTYPE)
+    rdtype = real_dtype_of(cdtype)
+    Xd = _to_device(X, cdtype)
+    re, im, epochs = _ogive_batch_jit(
+        Xd, jnp.asarray(step_size, rdtype), jnp.asarray(tol, rdtype),
+        int(n_iter), model, update, int(switch_every), bool(init_eig),
+        bool(proj_back),
+    )
+    Y = merge_np(np.asarray(re), np.asarray(im))
+    if return_epochs:
+        return Y, np.asarray(epochs)
+    return Y
+
+
+@partial(jax.jit, static_argnames=("n_iter", "model", "proj_back"))
+def _five_batch_jit(X, n_iter, model, proj_back):
+    from .models.five import five_demix, five_iterations, five_whiten
+    from .ops.projection import apply_projection_back
+
+    def one(Xb):
+        Xw, Q = five_whiten(Xb)
+        F, M = Xw.shape[1], Xw.shape[2]
+        w = jnp.zeros((F, M), Xw.dtype).at[:, 0].set(1.0)
+        w = five_iterations(Xw, w, n_iter, model)
+        Y = five_demix(Xw, w)[:, :, None]
+        if proj_back:
+            Y = apply_projection_back(Y, Xb[:, :, 0])
+        return Y
+
+    Y = jax.vmap(one)(X)
+    return jnp.real(Y), jnp.imag(Y)
+
+
+def five_batch(X, n_iter=10, proj_back=True, model="laplace", dtype=None):
+    """Batch of same-shape mixtures through FIVE in ONE fused XLA program.
+
+    X: (batch, T, F, M) -> (batch, T, F, 1)."""
+    X = np.asarray(X)
+    Xd = _to_device(X, np.dtype(dtype or DEFAULT_DTYPE))
+    re, im = _five_batch_jit(Xd, int(n_iter), model, bool(proj_back))
+    return merge_np(np.asarray(re), np.asarray(im))

@@ -120,7 +120,7 @@ def ogive_iterations(
         return jnp.logical_and(jnp.logical_not(done), epoch < limit)
 
     def body(state):
-        wp, ap, use_mix, epoch, _ = state  # wp, ap: (M, F)
+        wp, ap, use_mix, epoch, done_in = state  # wp, ap: (M, F)
 
         if update == "switching":
             use_mix = lax.cond(
@@ -168,15 +168,25 @@ def ogive_iterations(
         rel = jnp.max(rel_f)
         if axis_name is not None:
             rel = lax.pmax(rel, axis_name)
-        done = mu.real * rel < tol
-        return (w_new, a_new, use_mix, epoch + 1, done)
+        done = jnp.logical_or(done_in, mu.real * rel < tol)
+
+        # vmap safety: the single-mixture while_loop never re-enters the body
+        # once done, but under vmap the loop runs until ALL batch elements
+        # converge and the body keeps executing — freeze finished elements so
+        # their trajectories (and epoch counts) match the unbatched path.
+        w_new = jnp.where(done_in, wp, w_new)
+        a_new = jnp.where(done_in, ap, a_new)
+        epoch = jnp.where(done_in, epoch, epoch + 1)
+        return (w_new, a_new, use_mix, epoch, done)
 
     done0 = jnp.asarray(False)
     if done_pvary_axes:
         # under shard_map the loop-exit flag is collective-computed (pmax over
         # the bins axis) and therefore varies over the remaining mesh axes;
-        # the initial carry must carry the same varying-axes type.
+        # the initial carry must carry the same varying-axes type. The epoch
+        # counter is frozen through `done` in the body, so it varies too.
         done0 = lax.pcast(done0, done_pvary_axes, to="varying")
+        epoch0 = lax.pcast(jnp.asarray(epoch0), done_pvary_axes, to="varying")
     state = (w.T, a.T, use_mix, epoch0, done0)
     wp, ap, use_mix, epoch, done = lax.while_loop(cond, body, state)
     return wp.T, ap.T, use_mix, epoch, done

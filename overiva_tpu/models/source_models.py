@@ -6,8 +6,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 EPS = 1e-15
+# Relative activation floor: r >= REL_EPS * max_t r per source. Bounds the
+# weight dynamic range (phi = 1/r) so the weighted covariance stays
+# invertible. Without it the time-varying gauss model collapses at M >> N
+# (an output nulls a frame -> phi explodes -> WV singular -> NaN, in f64
+# too — PARITY.md row 13). Matches the oracle exactly.
+REL_EPS = 1e-3
 
-__all__ = ["EPS", "activations", "MODELS"]
+__all__ = ["EPS", "REL_EPS", "activations", "MODELS"]
 
 MODELS = ("laplace", "gauss")
 
@@ -35,6 +41,7 @@ def activations_from_power(pw, n_freq: int, model: str, eps: float = EPS):
     else:
         raise ValueError(f"unknown source model {model!r}")
     r = jnp.maximum(r, eps)
+    r = jnp.maximum(r, REL_EPS * jnp.max(r, axis=0, keepdims=True))
     return r, 1.0 / r
 
 

@@ -11,8 +11,14 @@ from __future__ import annotations
 import numpy as np
 
 EPS = 1e-15  # activation floor (SURVEY.md §2.3, VERIFY-flagged exact value)
+# Relative floor bounding the weight dynamic range (deliberate stability
+# deviation from the reference's absolute-only floor; PARITY.md row 13):
+# prevents the gauss-model collapse at M >> N where an output nulls a frame
+# and phi = 1/r blows the weighted covariance up to singularity (NaN in
+# float64 as well). Mirrored exactly by the JAX path.
+REL_EPS = 1e-3
 
-__all__ = ["EPS", "activations", "MODELS"]
+__all__ = ["EPS", "REL_EPS", "activations", "MODELS"]
 
 
 def activations(Y: np.ndarray, model: str, eps: float = EPS):
@@ -32,6 +38,7 @@ def activations(Y: np.ndarray, model: str, eps: float = EPS):
     else:
         raise ValueError(f"unknown source model {model!r}")
     r = np.maximum(r, eps)
+    r = np.maximum(r, REL_EPS * r.max(axis=0, keepdims=True))
     return r, 1.0 / r
 
 

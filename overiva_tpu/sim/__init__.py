@@ -2,7 +2,7 @@
 
 from .layouts import circular_mic_array, grid_layout, random_layout, semi_circle_layout
 from .room import ShoeBox, inverse_sabine, shoebox_rir
-from .sources import mix_premix, scale_to_snr, speech_like
+from .sources import load_wav_sources, mix_premix, scale_to_snr, speech_like
 
 __all__ = [
     "ShoeBox",
@@ -14,5 +14,6 @@ __all__ = [
     "scale_to_snr",
     "semi_circle_layout",
     "shoebox_rir",
+    "load_wav_sources",
     "speech_like",
 ]

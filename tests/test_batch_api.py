@@ -1,19 +1,26 @@
-"""Batched (vmap) single-chip separation matches the per-mixture path."""
+"""Batched (vmap) single-chip separation matches the per-mixture path,
+for every family (overiva / iss / overiva-iss / ogive / five)."""
 
 import numpy as np
+import pytest
 
 from overiva_tpu import api
 
 from helpers import make_mixture, stft_mixture
 
 
-def test_overiva_batch_matches_loop():
+@pytest.fixture(scope="module")
+def batch43():
     Xs = []
     for seed in (61, 62, 63):
         rng = np.random.default_rng(seed)
         mix, _, _ = make_mixture(rng, n_src=2, n_mics=4, n_samples=12000, snr_db=25)
         Xs.append(stft_mixture(mix, nfft=256))
-    batch = np.stack(Xs)
+    return np.stack(Xs)
+
+
+def test_overiva_batch_matches_loop(batch43):
+    batch = batch43
     Yb = api.overiva_batch(batch, n_src=2, n_iter=8, dtype=np.complex128)
     for b in range(3):
         Yref = api.overiva(batch[b], n_src=2, n_iter=8, dtype=np.complex128)
@@ -21,8 +28,63 @@ def test_overiva_batch_matches_loop():
 
 
 def test_overiva_batch_validates():
-    import pytest
-
     X = np.zeros((2, 10, 9, 3), np.complex64)
     with pytest.raises(ValueError):
         api.overiva_batch(X, n_src=5)
+
+
+def test_auxiva_iss_batch_matches_loop(batch43):
+    batch = batch43
+    Yb = api.auxiva_iss_batch(batch, n_iter=8, dtype=np.complex128)
+    for b in range(3):
+        Yref = api.auxiva_iss(batch[b], n_iter=8, dtype=np.complex128)
+        np.testing.assert_allclose(Yb[b], Yref, rtol=1e-7, atol=1e-9)
+
+
+def test_overiva_iss_batch_matches_loop(batch43):
+    batch = batch43
+    Yb = api.overiva_iss_batch(batch, n_src=2, n_iter=8, dtype=np.complex128)
+    assert Yb.shape == batch.shape[:3] + (2,)
+    for b in range(3):
+        Yref = api.overiva_iss(batch[b], n_src=2, n_iter=8, dtype=np.complex128)
+        np.testing.assert_allclose(Yb[b], Yref, rtol=1e-7, atol=1e-9)
+
+
+@pytest.mark.parametrize("update", ["demix", "switching"])
+def test_ogive_batch_matches_loop(batch43, update):
+    batch = batch43
+    Yb = api.ogive_batch(
+        batch, n_iter=40, step_size=0.05, tol=0, update=update,
+        dtype=np.complex128,
+    )
+    for b in range(3):
+        Yref = api.ogive(
+            batch[b], n_iter=40, step_size=0.05, tol=0, update=update,
+            dtype=np.complex128,
+        )
+        np.testing.assert_allclose(Yb[b], Yref, rtol=1e-7, atol=1e-9)
+
+
+def test_ogive_batch_early_exit_per_element(batch43):
+    """Elements that converge first must freeze exactly where the unbatched
+    early-exit run stops (vmapped while_loop keeps iterating on the rest)."""
+    batch = batch43
+    Yb, epochs = api.ogive_batch(
+        batch, n_iter=400, step_size=0.05, tol=2e-3, update="demix",
+        return_epochs=True, dtype=np.complex128,
+    )
+    assert epochs.shape == (3,)
+    for b in range(3):
+        Yref = api.ogive(
+            batch[b], n_iter=400, step_size=0.05, tol=2e-3, update="demix",
+            dtype=np.complex128,
+        )
+        np.testing.assert_allclose(Yb[b], Yref, rtol=1e-7, atol=1e-9)
+
+
+def test_five_batch_matches_loop(batch43):
+    batch = batch43
+    Yb = api.five_batch(batch, n_iter=5, dtype=np.complex128)
+    for b in range(3):
+        Yref = api.five(batch[b], n_iter=5, dtype=np.complex128)
+        np.testing.assert_allclose(Yb[b], Yref, rtol=1e-6, atol=1e-8)

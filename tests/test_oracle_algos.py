@@ -257,3 +257,19 @@ def test_callback_receives_projected_copies(mixture22):
     for Y in seen:
         assert Y.shape == (X.shape[0], X.shape[1], 2)
         assert np.all(np.isfinite(Y))
+
+def test_gauss_m8_no_collapse():
+    """Regression (round 2): at M >> N with long-STFT few-frame data the gauss
+    model used to null an output frame, blow up phi = 1/r, and NaN in f64.
+    The relative activation floor (oracle/models.REL_EPS, PARITY.md row 13)
+    bounds the weight dynamic range; the run must stay finite AND separate."""
+    from helpers import make_mixture, stft_mixture
+
+    rng = np.random.default_rng(77)
+    mix, premix, _ = make_mixture(rng, n_src=2, n_mics=8, n_samples=24000, snr_db=25)
+    X = stft_mixture(mix, nfft=2048)  # few frames, many bins: the hard regime
+    P = np.stack([stft_mixture(premix[k], nfft=2048)[:, :, 0] for k in range(2)])
+    Y = overiva(X, n_src=2, n_iter=30, model="gauss", init_eig=True)
+    assert np.isfinite(Y).all()
+    ok, G = separation_success(Y, P)
+    assert ok, G
