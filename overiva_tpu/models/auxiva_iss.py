@@ -4,6 +4,13 @@ Rank-1 source-steering updates (see the oracle twin
 ``overiva_tpu/oracle/auxiva_iss.py``): no matrix solves anywhere, every step
 is einsums + elementwise math over all bins — the fastest family member on
 TPU (no Gauss-Jordan chains, pure VPU/MXU work).
+
+Layout note (docs/DESIGN.md §2b): unlike the IP update chain, ISS does NOT
+benefit from the bin-minor layout — its operands are (T, F) slices whose
+lane axis is already the bin axis, and its contractions are over frames,
+which XLA lowers to efficient batched dots. An A/B of a fully bin-minor
+epoch measured 1.48 ms/iter vs 0.9 ms for this einsum form at the headline
+shape, so F-major stays.
 """
 
 from __future__ import annotations
