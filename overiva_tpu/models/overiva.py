@@ -23,6 +23,7 @@ from jax import lax
 from ..ops.covariance import (
     covariance,
     weighted_covariance,
+    weighted_covariance_all,
     weighted_covariance_chunked,
 )
 from ..ops.fminor import (
@@ -138,13 +139,16 @@ def _epoch(
         # on (tiny, tiny, F) tensors — concat of static slices is a copy
         return jnp.concatenate([A[:k], row[None], A[k + 1 :]], axis=0)
 
+    # all N weighted covariances up front (they depend only on the
+    # epoch-start phi): one pass over X instead of N (X-read-bound op)
+    Vs = None if chunk_frames else weighted_covariance_all(X, phi)
     for k in range(N):  # static unroll — IP updates are order-dependent
         # chunk_frames: stream the frame axis (SURVEY.md §5.7) so long
         # recordings never materialize the (T, F, M) weighted temporary
         if chunk_frames:
             V = weighted_covariance_chunked(X, phi[:, k], chunk=chunk_frames)
         else:
-            V = weighted_covariance(X, phi[:, k])  # (F, M, M)
+            V = Vs[k]  # (F, M, M)
         Vp = to_fminor(V)  # (M, M, F)
         WV = matmul_fm(Wp, Vp)
         rhs = jnp.broadcast_to(e[:, k, None, None], (M, 1, F))

@@ -19,6 +19,7 @@ from .linalg import PRECISION
 __all__ = [
     "covariance",
     "weighted_covariance",
+    "weighted_covariance_all",
     "weighted_covariance_tf",
     "weighted_covariance_chunked",
 ]
@@ -38,6 +39,23 @@ def weighted_covariance(X, phi):
     Xw = X * phi[:, None, None].astype(X.real.dtype)
     return (
         jnp.einsum("tfm,tfn->fmn", Xw, jnp.conj(X), precision=PRECISION) / T
+    )
+
+
+def weighted_covariance_all(X, phi):
+    """All sources' weighted covariances in ONE pass over X.
+
+    V[k, f] = (1/T) sum_t phi[t, k] x x^H. X: (T, F, M), phi: (T, K)
+    -> (K, F, M, M). The per-source V_k depend only on the epoch-start
+    weights, so they can be computed together up front. (Measured
+    perf-neutral vs K separate calls at the benchmark shapes — XLA already
+    pipelines the X reads — but it makes the independence explicit and
+    keeps the source loop solve-only.)
+    """
+    T = X.shape[0]
+    Xw = X[None] * phi.T[:, :, None, None].astype(X.real.dtype)  # (K,T,F,M)
+    return (
+        jnp.einsum("ktfm,tfn->kfmn", Xw, jnp.conj(X), precision=PRECISION) / T
     )
 
 

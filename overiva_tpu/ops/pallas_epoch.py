@@ -1,4 +1,12 @@
-"""Pallas TPU kernel: fused OverIVA per-bin update phase.
+"""Pallas TPU kernel: fused OverIVA per-bin update phase. [SHELVED]
+
+STATUS (round 2): demoted to validated reference material — not on any
+production path. The round-1 motivation was the ~60x gap between the XLA
+iteration (5.2 ms) and the HBM roofline; the bin-minor layout + scatter-free
+update rewrite (docs/DESIGN.md §2b) closed that to 0.44 ms/iter in plain
+XLA, leaving a best-case ~1.5x for a fused kernel against 5-10+ minute
+Mosaic compiles per shape in this environment (docs/DESIGN.md §5). The
+interpret-mode parity tests (tests/test_pallas_epoch.py) keep it honest.
 
 One grid pass over frequency-bin blocks performs, entirely in VMEM, for each
 source k: the phi-weighted covariance V_k, WV = W_hat @ V_k, the Gauss-Jordan
