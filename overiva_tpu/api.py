@@ -716,14 +716,23 @@ def _eye_like(X, m):
 
 @partial(
     jax.jit,
-    static_argnames=("nfft", "hop", "n_src", "n_iter", "model", "init_eig"),
+    static_argnames=(
+        "nfft", "hop", "n_src", "n_iter", "model", "init_eig", "algo"
+    ),
 )
-def _separate_time_jit(x, nfft, hop, n_src, n_iter, model, init_eig):
+def _separate_time_jit(x, nfft, hop, n_src, n_iter, model, init_eig, algo="ip"):
+    from .models.auxiva_iss import auxiva_iss_iterations
     from .models.overiva import overiva_run
     from .ops.projection import apply_projection_back
 
     X = _stft.analysis(x, nfft, hop)
-    Y, _ = overiva_run(X, n_src, n_iter, model, init_eig=init_eig)
+    if algo == "iss":  # rank-1 steering (OverIVA-ISS when n_src < M)
+        M = X.shape[2]
+        W = jnp.broadcast_to(jnp.eye(M, dtype=X.dtype), (X.shape[1], M, M))
+        _, Y = auxiva_iss_iterations(X, W, n_iter, model, n_src=n_src)
+        Y = Y[:, :, :n_src]
+    else:
+        Y, _ = overiva_run(X, n_src, n_iter, model, init_eig=init_eig)
     Y = apply_projection_back(Y, X[:, :, 0])
     return _stft.synthesis(Y, nfft, hop)
 
@@ -736,14 +745,19 @@ def separate(
     n_iter=20,
     model="laplace",
     init_eig=False,
+    algo="ip",
     dtype=None,
 ):
-    """Time-domain in, time-domain out: STFT -> OverIVA/AuxIVA -> projection
+    """Time-domain in, time-domain out: STFT -> separate -> projection
     back -> iSTFT as ONE fused XLA program (zero host round-trips, no
     complex at any boundary — the serving path).
 
+    ``algo``: "ip" (OverIVA/AuxIVA iterative projection, reference-parity)
+    or "iss" (rank-1 source steering; OverIVA-ISS when n_src < n_chan).
     mix: (n_samples, n_chan) float. Returns (n_samples, n_src) float.
     """
+    if algo not in ("ip", "iss"):
+        raise ValueError(f"unknown algo {algo!r}; use 'ip' or 'iss'")
     mix = np.asarray(mix)
     hop = hop or nfft // 2
     n, M = mix.shape
@@ -758,7 +772,7 @@ def separate(
     y = np.asarray(
         _separate_time_jit(
             jnp.asarray(xp), int(nfft), int(hop), N, int(n_iter), model,
-            bool(init_eig),
+            bool(init_eig), algo,
         )
     )
     start = nfft - hop

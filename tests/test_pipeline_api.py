@@ -43,3 +43,28 @@ def test_checkpoint_warm_start(tmp_path):
     Y2 = api.overiva(X, n_src=2, n_iter=0, W0=W1b, proj_back=True, dtype=np.complex128)
     # resuming with zero extra iterations reproduces the checkpointed output
     np.testing.assert_allclose(Y2, Y1, rtol=1e-9, atol=1e-11)
+
+
+def test_separate_iss_path():
+    """The fused serving path with algo='iss' (OverIVA-ISS when n_src < M)
+    matches the composed overiva_iss pipeline."""
+    import numpy as np
+
+    from overiva_tpu import api
+    from overiva_tpu.oracle import stft_pad
+
+    from helpers import make_mixture
+
+    rng = np.random.default_rng(71)
+    mix, _, _ = make_mixture(rng, n_src=2, n_mics=4, n_samples=16000, snr_db=25)
+    y = api.separate(mix, n_src=2, nfft=256, n_iter=10, algo="iss",
+                     dtype=np.complex128)
+    assert y.shape == (mix.shape[0], 2)
+    X = api.stft_analysis(stft_pad(mix, 256, 128), 256, dtype=np.complex128)
+    Yref = api.overiva_iss(X, n_src=2, n_iter=10, dtype=np.complex128)
+    yref = api.stft_synthesis(Yref, 256, dtype=np.complex128)[128:][: mix.shape[0]]
+    np.testing.assert_allclose(y, yref, rtol=1e-7, atol=1e-9)
+
+    import pytest
+    with pytest.raises(ValueError):
+        api.separate(mix, n_src=2, algo="nope")
