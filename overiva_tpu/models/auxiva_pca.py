@@ -6,7 +6,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..ops.covariance import covariance
-from ..ops.linalg import PRECISION, eigh
+from ..ops.linalg import PRECISION, align_eigvec_phase, eigh
 from .overiva import overiva_run
 
 __all__ = ["pca", "auxiva_pca_run"]
@@ -21,12 +21,9 @@ def pca(X, n_src: int, return_basis: bool = False):
     Cx = covariance(X)
     _, vecs = eigh(Cx)  # ascending
     E_top = vecs[:, :, ::-1][:, :, :n_src]  # (F, M, n_src)
-    # deterministic phase (matches the oracle): largest-|.| component of each
-    # eigenvector made real-positive, aligning the XLA and LAPACK bases
-    idx = jnp.argmax(jnp.abs(E_top), axis=1)  # (F, n_src)
-    anchor = jnp.take_along_axis(E_top, idx[:, None, :], axis=1)[:, 0, :]
-    phase = anchor / jnp.maximum(jnp.abs(anchor), 1e-30).astype(E_top.real.dtype)
-    E_top = E_top * jnp.conj(phase)[:, None, :]
+    # deterministic phase (matches the oracle), aligning the XLA and
+    # LAPACK bases — PARITY round-2 fix
+    E_top = align_eigvec_phase(E_top)
     X_r = jnp.einsum("fmk,tfm->tfk", jnp.conj(E_top), X, precision=PRECISION)
     if return_basis:
         return X_r, E_top

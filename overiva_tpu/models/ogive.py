@@ -23,7 +23,7 @@ from jax import lax
 
 from ..ops.covariance import covariance
 from ..ops.fminor import matvec_fm, to_fminor
-from ..ops.linalg import PRECISION, eigh, small_inv
+from ..ops.linalg import PRECISION, align_eigvec_phase, eigh, small_inv
 from .source_models import activations_from_power, power
 
 __all__ = ["ogive_init", "ogive_iterations", "ogive_demix"]
@@ -59,7 +59,8 @@ def ogive_init(X, init_eig: bool):
     Cx_inv = small_inv(Cx)
     if init_eig:
         _, vecs = eigh(Cx)
-        w = jnp.conj(vecs[:, :, -1])  # principal component, demix convention
+        top = align_eigvec_phase(vecs[:, :, -1:])  # deterministic phase
+        w = jnp.conj(top[:, :, 0])  # principal component, demix convention
     else:
         w = jnp.zeros((F, M), X.dtype).at[:, 0].set(1.0)
     a = _oc_a_from_w(w.T, to_fminor(Cx)).T

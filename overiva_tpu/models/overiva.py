@@ -35,7 +35,7 @@ from ..ops.fminor import (
     to_fminor,
     vecmat_fm,
 )
-from ..ops.linalg import PRECISION, eigh, mat_h, solve_mat
+from ..ops.linalg import PRECISION, align_eigvec_phase, eigh, mat_h, solve_mat
 from .source_models import activations_from_power, power
 
 __all__ = [
@@ -84,7 +84,7 @@ def init_w_hat(X, n_src: int, init_eig: bool, Cx=None, W0=None, dtype=None):
         if Cx is None:
             Cx = covariance(X)
         _, vecs = eigh(Cx)  # ascending
-        top = vecs[:, :, ::-1][:, :, :N]  # (F, M, N)
+        top = align_eigvec_phase(vecs[:, :, ::-1][:, :, :N])  # (F, M, N)
         W_hat = W_hat.at[:, :N, :].set(mat_h(top))
 
     if N < M:

@@ -13,7 +13,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["solve_vec", "solve_mat", "gauss_solve", "small_inv", "eigh", "matvec", "mat_h"]
+__all__ = [
+    "solve_vec", "solve_mat", "gauss_solve", "small_inv", "eigh",
+    "align_eigvec_phase", "matvec", "mat_h",
+]
 
 # Contraction precision for the f32/c64 path: HIGHEST keeps the MXU in
 # full-precision passes — required for 0.1 dB parity with the f64 oracle.
@@ -125,3 +128,16 @@ def solve_mat(A, B):
 def eigh(A):
     """Batched Hermitian eigendecomposition, eigenvalues ascending."""
     return jnp.linalg.eigh(A)
+
+
+def align_eigvec_phase(E):
+    """Deterministic eigenvector phase: largest-|.| component real-positive.
+
+    E: (F, M, K) columns are eigenvectors. Matches the oracle's convention
+    (``oracle.models.align_eigvec_phase``) so eigh-initialized trajectories
+    coincide between the LAPACK and XLA backends.
+    """
+    idx = jnp.argmax(jnp.abs(E), axis=1)  # (F, K)
+    anchor = jnp.take_along_axis(E, idx[:, None, :], axis=1)[:, 0, :]
+    phase = anchor / jnp.maximum(jnp.abs(anchor), 1e-30).astype(E.real.dtype)
+    return E * jnp.conj(phase)[:, None, :]

@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 
 from .auxiva import auxiva
+from .models import align_eigvec_phase
 from .projection import projection_back
 
 __all__ = ["pca", "auxiva_pca"]
@@ -28,13 +29,9 @@ def pca(X: np.ndarray, n_src: int, return_basis: bool = False):
     Cx = np.einsum("tfm,tfn->fmn", X, np.conj(X)) / T
     eigval, eigvec = np.linalg.eigh(Cx)  # ascending
     E_top = eigvec[:, :, ::-1][:, :, :n_src]  # (F, M, n_src), largest first
-    # deterministic phase: each eigenvector's largest-|.| component is made
-    # real-positive, so the LAPACK and XLA eigh bases agree and the JAX twin
-    # follows the same optimization trajectory (PARITY round-2 fix)
-    idx = np.argmax(np.abs(E_top), axis=1)  # (F, n_src)
-    anchor = np.take_along_axis(E_top, idx[:, None, :], axis=1)[:, 0, :]
-    phase = anchor / np.maximum(np.abs(anchor), 1e-30)
-    E_top = E_top * np.conj(phase)[:, None, :]
+    # deterministic phase so the LAPACK and XLA bases (and therefore the
+    # reduced-space AuxIVA trajectories) coincide — PARITY round-2 fix
+    E_top = align_eigvec_phase(E_top)
     X_r = np.einsum("fmk,tfm->tfk", np.conj(E_top), X)
     if return_basis:
         return X_r, E_top

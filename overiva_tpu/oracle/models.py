@@ -18,7 +18,21 @@ EPS = 1e-15  # activation floor (SURVEY.md §2.3, VERIFY-flagged exact value)
 # float64 as well). Mirrored exactly by the JAX path.
 REL_EPS = 1e-3
 
-__all__ = ["EPS", "REL_EPS", "activations", "MODELS"]
+__all__ = ["EPS", "REL_EPS", "activations", "align_eigvec_phase", "MODELS"]
+
+
+def align_eigvec_phase(E: np.ndarray) -> np.ndarray:
+    """Deterministic eigenvector phase: largest-|.| component real-positive.
+
+    E: (F, M, K) columns are eigenvectors. eigh only defines eigenvectors up
+    to a per-vector phase, and LAPACK vs XLA choose different ones; fixing
+    the convention identically in the oracle and the JAX twin keeps their
+    optimization trajectories comparable (PARITY.md, round-2 PCA fix).
+    """
+    idx = np.argmax(np.abs(E), axis=1)  # (F, K)
+    anchor = np.take_along_axis(E, idx[:, None, :], axis=1)[:, 0, :]
+    phase = anchor / np.maximum(np.abs(anchor), 1e-30)
+    return E * np.conj(phase)[:, None, :]
 
 
 def activations(Y: np.ndarray, model: str, eps: float = EPS):

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .models import activations
+from .models import activations, align_eigvec_phase
 from .projection import projection_back
 
 __all__ = ["ogive"]
@@ -74,7 +74,8 @@ def ogive(
 
     if init_eig:
         eigval, eigvec = np.linalg.eigh(Cx)
-        w = np.conj(eigvec[:, :, -1])  # principal component, demix convention
+        top = align_eigvec_phase(eigvec[:, :, -1:])  # deterministic phase
+        w = np.conj(top[:, :, 0])  # principal component, demix convention
     else:
         w = np.zeros((F, M), dtype=X.dtype)
         w[:, 0] = 1.0

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .models import activations
+from .models import activations, align_eigvec_phase
 from .projection import apply_projection_back, projection_back
 
 __all__ = ["overiva"]
@@ -78,7 +78,7 @@ def overiva(
     elif init_eig:
         # principal subspace init: rows of W1 = conj(top-N eigenvectors)^T
         eigval, eigvec = np.linalg.eigh(Cx)  # ascending
-        top = eigvec[:, :, ::-1][:, :, :N]  # (F, M, N) largest first
+        top = align_eigvec_phase(eigvec[:, :, ::-1][:, :, :N])  # (F, M, N)
         W_hat[:, :N, :] = np.conj(np.swapaxes(top, 1, 2))
 
     if N < M:
