@@ -103,6 +103,16 @@ def main():
     check_finite(W)
     extra["overiva_T512_it_s"] = round(N_ITER / t5, 1)
 
+    # ---- OverIVA-IP2 (pairwise updates: ~0.55 ms/iter but 3-5x fewer
+    # iterations to converge than IP1 — tests/test_ip2.py) ----
+    from overiva_tpu.models.overiva_ip2 import overiva_ip2_iterations
+
+    t_ip2, W = timed(
+        lambda: overiva_ip2_iterations(X, W_hat, Cx, N, N_ITER, "laplace")
+    )
+    check_finite(W)
+    extra["overiva_ip2_it_s"] = round(N_ITER / t_ip2, 1)
+
     # ---- AuxIVA-ISS speed tier (determined M=N=8, T=128) ----
     Weye = jax.jit(
         lambda x: jnp.broadcast_to(jnp.eye(M, dtype=x.dtype), (F, M, M))

@@ -34,6 +34,8 @@ _API = {
     "auxiva": "api",
     "auxiva_iss": "api",
     "overiva": "api",
+    "overiva_ip2": "api",
+    "auxiva_ip2": "api",
     "overiva_iss": "api",
     "overiva_batch": "api",
     "auxiva_iss_batch": "api",

@@ -163,6 +163,68 @@ def overiva(
     return Y
 
 
+def overiva_ip2(
+    X,
+    n_src=None,
+    n_iter=20,
+    proj_back=True,
+    W0=None,
+    model="laplace",
+    init_eig=False,
+    return_filters=False,
+    callback=None,
+    callback_every=10,
+    dtype=None,
+):
+    """Pairwise-update OverIVA/AuxIVA (IP2): 3-5x faster convergence per
+    epoch than IP1 (extension beyond the reference; PAPERS.md:
+    arXiv:2003.09531 / Ono 2018 lineage — oracle twin
+    ``overiva_tpu.oracle.overiva_ip2`` has the derivation and validation).
+
+    Requires n_src >= 2. X: (n_frames, n_freq, n_chan) complex; returns
+    Y (n_frames, n_freq, n_src) [, W_hat].
+    """
+    from .models.overiva_ip2 import overiva_ip2_iterations
+
+    X = np.asarray(X)
+    T, F, M = X.shape
+    N = M if n_src is None else int(n_src)
+    if not 2 <= N <= M:
+        raise ValueError(f"IP2 needs 2 <= n_src <= n_chan, got {N}")
+    cdtype = np.dtype(dtype or DEFAULT_DTYPE)
+
+    Xd = _to_device(X, cdtype)
+    W0d = _to_device(W0, cdtype) if W0 is not None else Xd[:0]
+    W_hat, Cx = _prepare(Xd, W0d, N, bool(init_eig), N < M, W0 is not None)
+
+    if callback is None:
+        W_hat = overiva_ip2_iterations(Xd, W_hat, Cx, N, int(n_iter), model)
+    else:
+        done = 0
+        while done < n_iter:
+            re, im = _snapshot(Xd, W_hat, N)
+            callback(merge_np(np.asarray(re), np.asarray(im)))
+            step = min(callback_every, n_iter - done)
+            W_hat = overiva_ip2_iterations(Xd, W_hat, Cx, N, step, model)
+            done += step
+
+    re, im = _finalize(Xd, W_hat, N, bool(proj_back))
+    Y = merge_np(np.asarray(re), np.asarray(im))
+    if return_filters:
+        return Y, _to_host(W_hat)
+    return Y
+
+
+def auxiva_ip2(X, n_src=None, **kw):
+    """Determined pairwise AuxIVA (n_src must equal n_chan)."""
+    X = np.asarray(X)
+    M = X.shape[2]
+    N = M if n_src is None else int(n_src)
+    if N != M:
+        raise ValueError("auxiva_ip2 is determined: n_src must equal n_chan")
+    return overiva_ip2(X, n_src=M, **kw)
+
+
 def auxiva_iss(
     X,
     n_src=None,

@@ -13,6 +13,7 @@ from .five import five
 from .models import EPS, MODELS, activations
 from .ogive import ogive
 from .overiva import overiva
+from .overiva_ip2 import auxiva_ip2, overiva_ip2
 from .overiva_iss import overiva_iss
 from .projection import apply_projection_back, projection_back
 from .stft import analysis, hann, stft_pad, synthesis, synthesis_window
@@ -24,12 +25,14 @@ __all__ = [
     "analysis",
     "apply_projection_back",
     "auxiva",
+    "auxiva_ip2",
     "auxiva_iss",
     "auxiva_pca",
     "five",
     "hann",
     "ogive",
     "overiva",
+    "overiva_ip2",
     "overiva_iss",
     "pca",
     "projection_back",

@@ -24,13 +24,15 @@ class AlgorithmSpec:
     """One separation algorithm variant.
 
     determined: requires n_src == n_chan. single_output: always extracts one
-    source. defaults: reference-matching default kwargs.
+    source. min_src: smallest supported n_src (IP2 needs pairs).
+    defaults: reference-matching default kwargs.
     """
 
     name: str
     run: Callable
     determined: bool = False
     single_output: bool = False
+    min_src: int = 1
     defaults: dict = field(default_factory=dict)
 
     def __call__(self, X, n_src=None, **kw):
@@ -68,6 +70,10 @@ ALGORITHMS: dict[str, AlgorithmSpec] = {
                       defaults={"n_iter": 20}),
         AlgorithmSpec("overiva-iss-gauss", _gauss(api.overiva_iss),
                       defaults={"n_iter": 20}),
+        AlgorithmSpec("overiva-ip2", api.overiva_ip2, min_src=2,
+                      defaults={"n_iter": 10}),
+        AlgorithmSpec("overiva-ip2-gauss", _gauss(api.overiva_ip2),
+                      min_src=2, defaults={"n_iter": 10}),
         AlgorithmSpec("auxiva_pca", api.auxiva_pca, defaults={"n_iter": 20}),
         AlgorithmSpec("auxiva_pca-iss", api.auxiva_pca,
                       defaults={"n_iter": 20, "inner": "iss"}),
@@ -103,5 +109,5 @@ def applicable(name: str, n_src: int, n_chan: int) -> bool:
     if spec.single_output:
         return n_src == 1
     if spec.determined:
-        return n_src == n_chan
-    return n_src <= n_chan
+        return n_src == n_chan and n_src >= spec.min_src
+    return spec.min_src <= n_src <= n_chan
