@@ -62,6 +62,8 @@ DEFAULT_CONFIG = {
         "auxiva-iss": {"n_iter": 20},
         "overiva": {"n_iter": 20},
         "overiva-gauss": {"n_iter": 20},
+        "overiva-iss": {"n_iter": 20},
+        "overiva-ip2": {"n_iter": 10},
         "auxiva_pca": {"n_iter": 20},
         "ilrma": {"n_iter": 30, "n_components": 2},
         "ogive": {"n_iter": 2000, "step_size": 0.05, "tol": 1e-3},

@@ -9,8 +9,8 @@ Layout note (docs/DESIGN.md §2b): unlike the IP update chain, ISS does NOT
 benefit from the bin-minor layout — its operands are (T, F) slices whose
 lane axis is already the bin axis, and its contractions are over frames,
 which XLA lowers to efficient batched dots. An A/B of a fully bin-minor
-epoch measured 1.48 ms/iter vs 0.9 ms for this einsum form at the headline
-shape, so F-major stays.
+epoch measured 1.48 ms/iter vs 0.31 ms for this einsum form at the
+headline shape (M=8, F=2049, T=128), so F-major stays.
 """
 
 from __future__ import annotations
