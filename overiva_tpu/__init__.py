@@ -39,6 +39,7 @@ _API = {
     "overiva_iss": "api",
     "overiva_batch": "api",
     "auxiva_iss_batch": "api",
+    "overiva_ip2_batch": "api",
     "overiva_iss_batch": "api",
     "ogive_batch": "api",
     "five_batch": "api",

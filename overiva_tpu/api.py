@@ -785,6 +785,7 @@ def _eye_like(X, m):
 def _separate_time_jit(x, nfft, hop, n_src, n_iter, model, init_eig, algo="ip"):
     from .models.auxiva_iss import auxiva_iss_iterations
     from .models.overiva import overiva_run
+    from .models.overiva_ip2 import overiva_ip2_iterations
     from .ops.projection import apply_projection_back
 
     X = _stft.analysis(x, nfft, hop)
@@ -793,6 +794,10 @@ def _separate_time_jit(x, nfft, hop, n_src, n_iter, model, init_eig, algo="ip"):
         W = jnp.broadcast_to(jnp.eye(M, dtype=X.dtype), (X.shape[1], M, M))
         _, Y = auxiva_iss_iterations(X, W, n_iter, model, n_src=n_src)
         Y = Y[:, :, :n_src]
+    elif algo == "ip2":  # pairwise joint updates (needs n_src >= 2)
+        W_hat, Cx = _prepare(X, X[:0], n_src, False, True, False)
+        W_hat = overiva_ip2_iterations(X, W_hat, Cx, n_src, n_iter, model)
+        Y = _core.demix(X, W_hat[:, :n_src, :])
     else:
         Y, _ = overiva_run(X, n_src, n_iter, model, init_eig=init_eig)
     Y = apply_projection_back(Y, X[:, :, 0])
@@ -814,18 +819,21 @@ def separate(
     back -> iSTFT as ONE fused XLA program (zero host round-trips, no
     complex at any boundary — the serving path).
 
-    ``algo``: "ip" (OverIVA/AuxIVA iterative projection, reference-parity)
-    or "iss" (rank-1 source steering; OverIVA-ISS when n_src < n_chan).
+    ``algo``: "ip" (OverIVA/AuxIVA iterative projection, reference-parity),
+    "iss" (rank-1 source steering; OverIVA-ISS when n_src < n_chan), or
+    "ip2" (pairwise joint updates, 3-5x fewer iterations; n_src >= 2).
     mix: (n_samples, n_chan) float. Returns (n_samples, n_src) float.
     """
-    if algo not in ("ip", "iss"):
-        raise ValueError(f"unknown algo {algo!r}; use 'ip' or 'iss'")
+    if algo not in ("ip", "iss", "ip2"):
+        raise ValueError(f"unknown algo {algo!r}; use 'ip', 'iss' or 'ip2'")
     mix = np.asarray(mix)
     hop = hop or nfft // 2
     n, M = mix.shape
     N = M if n_src is None else int(n_src)
     if not 1 <= N <= M:
         raise ValueError("need 1 <= n_src <= n_chan")
+    if algo == "ip2" and N < 2:
+        raise ValueError("algo='ip2' needs n_src >= 2")
     rdtype = real_dtype_of(np.dtype(dtype or DEFAULT_DTYPE))
 
     from .oracle.stft import stft_pad
@@ -885,6 +893,40 @@ def overiva_batch(
     re, im = _overiva_batch_jit(
         Xd, N, int(n_iter), model, bool(init_eig), bool(proj_back)
     )
+    return merge_np(np.asarray(re), np.asarray(im))
+
+
+@partial(
+    jax.jit, static_argnames=("n_src", "n_iter", "model", "proj_back")
+)
+def _ip2_batch_jit(X, n_src, n_iter, model, proj_back):
+    from .models.overiva_ip2 import overiva_ip2_iterations
+    from .ops.projection import apply_projection_back
+
+    def one(Xb):
+        W_hat, Cx = _prepare(Xb, Xb[:0], n_src, False, True, False)
+        W_hat = overiva_ip2_iterations(Xb, W_hat, Cx, n_src, n_iter, model)
+        Y = _core.demix(Xb, W_hat[:, :n_src, :])
+        if proj_back:
+            Y = apply_projection_back(Y, Xb[:, :, 0])
+        return Y
+
+    Y = jax.vmap(one)(X)
+    return jnp.real(Y), jnp.imag(Y)
+
+
+def overiva_ip2_batch(
+    X, n_src=None, n_iter=10, proj_back=True, model="laplace", dtype=None
+):
+    """Batch of same-shape mixtures through OverIVA-IP2 in ONE fused XLA
+    program. X: (batch, T, F, M) -> (batch, T, F, n_src)."""
+    X = np.asarray(X)
+    B, T, F, M = X.shape
+    N = M if n_src is None else int(n_src)
+    if not 2 <= N <= M:
+        raise ValueError(f"IP2 needs 2 <= n_src <= n_chan, got {N}")
+    Xd = _to_device(X, np.dtype(dtype or DEFAULT_DTYPE))
+    re, im = _ip2_batch_jit(Xd, N, int(n_iter), model, bool(proj_back))
     return merge_np(np.asarray(re), np.asarray(im))
 
 

@@ -30,6 +30,7 @@ from ..models import auxiva_iss as _iss
 from ..models import ilrma as _ilrma
 from ..models import ogive as _ogive
 from ..models import overiva as _core
+from ..models import overiva_ip2 as _ip2
 from ..ops import projection as _proj
 from ..ops.covariance import covariance
 from .mesh import AXIS_BINS, AXIS_MIX
@@ -41,6 +42,7 @@ __all__ = [
     "sharded_auxiva_iss",
     "sharded_ilrma",
     "sharded_overiva_iss",
+    "sharded_overiva_ip2",
 ]
 
 
@@ -182,6 +184,74 @@ def sharded_overiva_iss(
         mesh, X_batch, n_iter=n_iter, model=model, proj_back=proj_back,
         n_src=n_src,
     )
+
+
+def _ip2_one(X, bin_mask, n_src, n_iter, model, n_freq_total, proj_back):
+    """Per-shard, per-mixture OverIVA-IP2 on the local bin slice (same
+    single-psum comm pattern: the per-frame power reduction)."""
+    T, Fl, M = X.shape
+    Cx = covariance(X)
+    W_hat = _core.init_w_hat(X, n_src, init_eig=False, Cx=Cx)
+
+    def epoch(_, W):
+        return _ip2._ip2_epoch(
+            X, W, Cx, n_src, model,
+            axis_name=AXIS_BINS, n_freq=n_freq_total, bin_mask=bin_mask,
+        )
+
+    W_hat = jax.lax.fori_loop(0, n_iter, epoch, W_hat)
+    Y = _core.demix(X, W_hat[:, :n_src, :])
+    if proj_back:
+        Y = _proj.apply_projection_back(Y, X[:, :, 0])
+    return Y
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "n_src", "n_iter", "model", "proj_back", "n_freq_total"
+    ),
+)
+def _sharded_ip2_padded(
+    X, bin_mask, mesh, n_src, n_iter, model, proj_back, n_freq_total
+):
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(AXIS_MIX, None, AXIS_BINS, None), P(AXIS_BINS)),
+        out_specs=P(AXIS_MIX, None, AXIS_BINS, None),
+    )
+    def run(Xl, maskl):
+        sep = lambda x: _ip2_one(
+            x, maskl, n_src, n_iter, model, n_freq_total, proj_back
+        )
+        return jax.vmap(sep)(Xl)
+
+    return run(X, bin_mask)
+
+
+def sharded_overiva_ip2(
+    mesh, X_batch, n_src: int, n_iter: int = 10,
+    model: str = "laplace", proj_back: bool = True,
+):
+    """Pairwise-update OverIVA over the mesh. X_batch: (B, T, F, M) complex;
+    returns (B, T, F, n_src). Requires n_src >= 2."""
+    if n_src < 2:
+        raise ValueError("IP2 needs n_src >= 2")
+    B, T, F, M = X_batch.shape
+    n_mix = mesh.shape[AXIS_MIX]
+    n_bins = mesh.shape[AXIS_BINS]
+    if B % n_mix != 0:
+        raise ValueError(f"batch {B} not divisible by mix axis {n_mix}")
+    F_pad, mask = pad_bins(F, n_bins)
+    if F_pad != F:
+        reps = jnp.repeat(X_batch[:, :, -1:, :], F_pad - F, axis=2)
+        X_batch = jnp.concatenate([X_batch, reps], axis=2)
+    Y = _sharded_ip2_padded(
+        X_batch, jnp.asarray(mask), mesh, int(n_src), int(n_iter), model,
+        bool(proj_back), int(F),
+    )
+    return Y[:, :, :F, :]
 
 
 def _ilrma_one(X, B0, H0, bin_mask, n_iter, n_freq_total, proj_back):

@@ -153,3 +153,44 @@ def test_ip2_registry():
     assert applicable("overiva-ip2", 2, 5)
     assert applicable("overiva-ip2", 3, 3)
     assert not applicable("overiva-ip2", 1, 5)
+
+
+def test_ip2_batch_matches_loop(mixture52):
+    X, _ = mixture52
+    batch = np.stack([X[:60], X[30:90]]).astype(np.complex128)
+    Yb = api.overiva_ip2_batch(batch, n_src=2, n_iter=5, dtype=np.complex128)
+    assert Yb.shape == batch.shape[:3] + (2,)
+    for b in range(2):
+        Yref = api.overiva_ip2(batch[b], n_src=2, n_iter=5, dtype=np.complex128)
+        np.testing.assert_allclose(Yb[b], Yref, rtol=1e-7, atol=1e-9)
+
+
+def test_ip2_fused_serving_path(mixture52):
+    from helpers import make_mixture as _mm
+
+    rng = np.random.default_rng(58)
+    mix, _, _ = _mm(rng, n_src=2, n_mics=4, n_samples=16000, snr_db=25)
+    y = api.separate(mix, n_src=2, nfft=256, n_iter=5, algo="ip2",
+                     dtype=np.complex128)
+    assert y.shape == (mix.shape[0], 2) and np.isfinite(y).all()
+    with pytest.raises(ValueError):
+        api.separate(mix, n_src=1, algo="ip2")
+
+
+def test_sharded_ip2_matches_single_device(mixture52):
+    import jax
+
+    from overiva_tpu.parallel.mesh import make_mesh
+    from overiva_tpu.parallel.sharded import sharded_overiva_ip2
+
+    X, _ = mixture52
+    Xs = np.asarray(X[:40], np.complex64)
+    n_bins = min(4, len(jax.devices()))
+    mesh = make_mesh(1, n_bins, devices=jax.devices()[:n_bins])
+    Yb = np.asarray(
+        jax.jit(lambda x: x)(
+            sharded_overiva_ip2(mesh, Xs[None], n_src=2, n_iter=3)
+        )
+    )
+    Yref = api.overiva_ip2(Xs, n_src=2, n_iter=3, dtype=np.complex64)
+    np.testing.assert_allclose(Yb[0], Yref, rtol=2e-3, atol=2e-4)
