@@ -34,7 +34,7 @@ from overiva_tpu.utils.cache import enable_persistent_cache
 enable_persistent_cache()
 
 from overiva_tpu import api
-from overiva_tpu.metrics import bss_eval_sources
+from overiva_tpu.metrics import BssEvalReferences
 from overiva_tpu.oracle import stft_pad
 from overiva_tpu.registry import applicable, get_algorithm
 from overiva_tpu.sim import (
@@ -118,8 +118,13 @@ def one_instance(cfg, seed, n_mics, n_src, rt60, snr, simulated=None):
 
     X = api.stft_analysis(stft_pad(mix, nfft, hop), nfft)
     refs = premix[:, 0, : mix.shape[0]]
-    sdr_mix, sir_mix, _, _ = bss_eval_sources(
-        refs, np.tile(mix[:, 0], (n_src, 1))
+    # reference-side Gram factorizations are shared across every algorithm
+    # of the instance (BssEvalReferences); single-output algorithms score
+    # against estimate-dependent (target, rest) pairs, cached per target
+    ev = BssEvalReferences(refs) if n_src > 1 else None
+    pair_evs = {}
+    sdr_mix, sir_mix, _, _ = ev.evaluate(
+        np.tile(mix[:, 0], (n_src, 1))
     ) if n_src > 1 else (np.array([0.0]), np.array([0.0]), None, None)
 
     results = {}
@@ -134,7 +139,7 @@ def one_instance(cfg, seed, n_mics, n_src, rt60, snr, simulated=None):
             if Y.shape[2] == n_src and n_src > 1:
                 # reference-ordered rows (mir_eval convention), so the mix
                 # scores (also reference-ordered) align without perm indexing
-                sdr, sir, sar, perm = bss_eval_sources(refs, y.T)
+                sdr, sir, sar, perm = ev.evaluate(y.T)
                 results[name] = {
                     "runtime": runtime,
                     "sdr": sdr.tolist(),
@@ -147,17 +152,21 @@ def one_instance(cfg, seed, n_mics, n_src, rt60, snr, simulated=None):
                     range(refs.shape[0]),
                     key=lambda j: abs(np.dot(refs[j], y[:, 0])),
                 )
-                pair = (
-                    np.stack([refs[best], refs.sum(0) - refs[best]])
-                    if refs.shape[0] > 1
-                    else refs[:1]
-                )
                 est = (
                     np.stack([y[:, 0], mix[:, 0] - y[:, 0]])
                     if refs.shape[0] > 1
                     else y.T[:1]
                 )
-                sdr, sir, _, _ = bss_eval_sources(pair, est, compute_permutation=False)
+                if best not in pair_evs:
+                    pair = (
+                        np.stack([refs[best], refs.sum(0) - refs[best]])
+                        if refs.shape[0] > 1
+                        else refs[:1]
+                    )
+                    pair_evs[best] = BssEvalReferences(pair)
+                sdr, sir, _, _ = pair_evs[best].evaluate(
+                    est, compute_permutation=False
+                )
                 results[name] = {
                     "runtime": runtime,
                     "sdr": [float(sdr[0])],

@@ -1,5 +1,5 @@
 """Separation-quality metrics (in-repo bss_eval; mir_eval-compatible API)."""
 
-from .bss_eval import bss_eval_images, bss_eval_sources
+from .bss_eval import BssEvalReferences, bss_eval_images, bss_eval_sources
 
 __all__ = ["bss_eval_images", "bss_eval_sources"]

@@ -3,7 +3,11 @@
 import numpy as np
 import pytest
 
-from overiva_tpu.metrics.bss_eval import bss_eval_images, bss_eval_sources
+from overiva_tpu.metrics.bss_eval import (
+    BssEvalReferences,
+    bss_eval_images,
+    bss_eval_sources,
+)
 
 
 @pytest.fixture
@@ -85,6 +89,73 @@ def test_no_permutation_mode(sources):
     sdr, sir, sar, perm = bss_eval_sources(sources, est, compute_permutation=False)
     np.testing.assert_array_equal(perm, [0, 1, 2])
     assert sdr[0] < 10  # mismatched without permutation search
+
+
+def _explicit_decomposition(refs, ests, flen):
+    """Brute-force Vincent-2006 criteria: materialize the delayed-reference
+    basis, project with lstsq, and measure actual time-domain energies.
+    Ground truth for the production path's quadratic-form energy identities
+    (bss_eval.py module docstring)."""
+    nsrc, nsampl = refs.shape
+    nproj = nsampl + flen - 1
+    basis = np.zeros((nproj, nsrc, flen))
+    for i in range(nsrc):
+        for tau in range(flen):
+            basis[tau : tau + nsampl, i, tau] = refs[i]
+    A = basis.reshape(nproj, nsrc * flen)
+    sdr = np.empty((nsrc, nsrc))
+    sir = np.empty((nsrc, nsrc))
+    sar = np.empty((nsrc, nsrc))
+    for k in range(nsrc):
+        e = np.concatenate([ests[k], np.zeros(flen - 1)])
+        p_all = A @ np.linalg.lstsq(A, e, rcond=None)[0]
+        for j in range(nsrc):
+            Aj = basis[:, j, :]
+            s_filt = Aj @ np.linalg.lstsq(Aj, e, rcond=None)[0]
+            e_interf = p_all - s_filt
+            e_artif = e - p_all
+            sdr[k, j] = 10 * np.log10(
+                np.sum(s_filt**2) / np.sum((e_interf + e_artif) ** 2)
+            )
+            sir[k, j] = 10 * np.log10(np.sum(s_filt**2) / np.sum(e_interf**2))
+            sar[k, j] = 10 * np.log10(
+                np.sum((s_filt + e_interf) ** 2) / np.sum(e_artif**2)
+            )
+    return sdr, sir, sar
+
+
+def test_matches_explicit_time_domain(rng):
+    """The Gram quadratic-form energies equal materialized projections."""
+    n, flen = 1500, 48
+    refs = rng.laplace(size=(2, n))
+    h = rng.standard_normal(8)
+    ests = np.stack(
+        [
+            np.convolve(refs[0], h, "same") + 0.3 * refs[1] + 0.05 * rng.standard_normal(n),
+            refs[1] + 0.2 * rng.standard_normal(n),
+        ]
+    )
+    sdr_bf, sir_bf, sar_bf = _explicit_decomposition(refs, ests, flen)
+    ev = BssEvalReferences(refs, filter_length=flen)
+    sdr, sir, sar, perm = ev.evaluate(ests)
+    np.testing.assert_array_equal(perm, [0, 1])
+    idx = np.arange(2)
+    np.testing.assert_allclose(sdr, sdr_bf[idx, idx], atol=1e-6)
+    np.testing.assert_allclose(sir, sir_bf[idx, idx], atol=1e-6)
+    np.testing.assert_allclose(sar, sar_bf[idx, idx], atol=1e-6)
+
+
+def test_references_reuse_matches_oneshot(sources, rng):
+    """One factorization scoring many estimate sets == per-call results."""
+    ev = BssEvalReferences(sources)
+    for trial in range(3):
+        est = sources[[2, 0, 1]] + 0.1 * (trial + 1) * rng.standard_normal(
+            sources.shape
+        )
+        a = ev.evaluate(est)
+        b = bss_eval_sources(sources, est)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(x, y, rtol=1e-12)
 
 
 def test_images_variant(sources):
