@@ -94,6 +94,14 @@ def main():
     check_finite(W)
     extra["overiva_marginal_it_s"] = round(200 / (t230 - t30), 1)
 
+    # ---- bf16 MXU weighted-covariance mode (wcov="bf16"; quality within
+    # 0.01 dB of f32 on the integration mixtures — tests/test_bf16.py) ----
+    t_bf, W = timed(
+        lambda: overiva_iterations(X, W_hat, Cx, N, N_ITER, "laplace", wcov="bf16")
+    )
+    check_finite(W)
+    extra["overiva_bf16_it_s"] = round(N_ITER / t_bf, 1)
+
     # ---- realistic frame count T=512 ----
     re5, im5 = _make_mix(rng, 512, F, M)
     X5 = jax.jit(lambda r, i: r + 1j * i)(re5, im5)
@@ -102,6 +110,11 @@ def main():
     t5, W = timed(lambda: overiva_iterations(X5, W_hat5, Cx5, N, N_ITER, "laplace"))
     check_finite(W)
     extra["overiva_T512_it_s"] = round(N_ITER / t5, 1)
+    t5b, W = timed(
+        lambda: overiva_iterations(X5, W_hat5, Cx5, N, N_ITER, "laplace", wcov="bf16")
+    )
+    check_finite(W)
+    extra["overiva_T512_bf16_it_s"] = round(N_ITER / t5b, 1)
 
     # ---- OverIVA-IP2 (pairwise updates: ~0.55 ms/iter but 3-5x fewer
     # iterations to converge than IP1 — tests/test_ip2.py) ----

@@ -119,6 +119,7 @@ def overiva(
     callback_every=10,
     dtype=None,
     chunk_frames=None,
+    wcov="f32",
 ):
     """OverIVA (AuxIVA when n_src == n_chan). Reference: ``overiva.py``.
 
@@ -128,6 +129,12 @@ def overiva(
     ``chunk_frames``: stream the weighted-covariance accumulation over frame
     blocks of this size — bounds memory for very long recordings
     (SURVEY.md §5.7) at identical results.
+
+    ``wcov="bf16"``: run the weighted-covariance stage (the per-iteration
+    FLOPs majority) on the MXU in bfloat16 with float32 accumulation —
+    ~1.8x faster end-to-end at realistic frame counts on a v5e, with
+    separation quality within ~0.05 dB of the f32 path (docs/DESIGN.md
+    §2c, tests/test_bf16.py). The f32 default is the 0.1 dB parity path.
     """
     X = np.asarray(X)
     T, F, M = X.shape
@@ -135,6 +142,8 @@ def overiva(
     if not 1 <= N <= M:
         raise ValueError("need 1 <= n_src <= n_chan")
     cdtype = np.dtype(dtype or DEFAULT_DTYPE)
+    if str(wcov) not in ("f32", "bf16"):
+        raise ValueError(f"wcov must be 'f32' or 'bf16', got {wcov!r}")
 
     Xd = _to_device(X, cdtype)
     W0d = _to_device(W0, cdtype) if W0 is not None else Xd[:0]  # placeholder
@@ -143,7 +152,8 @@ def overiva(
     chunk = int(chunk_frames) if chunk_frames else None
     if callback is None:
         W_hat = _core.overiva_iterations(
-            Xd, W_hat, Cx, N, int(n_iter), model, chunk_frames=chunk
+            Xd, W_hat, Cx, N, int(n_iter), model, chunk_frames=chunk,
+            wcov=str(wcov),
         )
     else:
         done = 0
@@ -152,7 +162,8 @@ def overiva(
             callback(merge_np(np.asarray(re), np.asarray(im)))
             step = min(callback_every, n_iter - done)
             W_hat = _core.overiva_iterations(
-                Xd, W_hat, Cx, N, step, model, chunk_frames=chunk
+                Xd, W_hat, Cx, N, step, model, chunk_frames=chunk,
+                wcov=str(wcov),
             )
             done += step
 
@@ -175,6 +186,7 @@ def overiva_ip2(
     callback=None,
     callback_every=10,
     dtype=None,
+    wcov="f32",
 ):
     """Pairwise-update OverIVA/AuxIVA (IP2): 3-5x faster convergence per
     epoch than IP1 (extension beyond the reference; PAPERS.md:
@@ -182,7 +194,8 @@ def overiva_ip2(
     ``overiva_tpu.oracle.overiva_ip2`` has the derivation and validation).
 
     Requires n_src >= 2. X: (n_frames, n_freq, n_chan) complex; returns
-    Y (n_frames, n_freq, n_src) [, W_hat].
+    Y (n_frames, n_freq, n_src) [, W_hat]. ``wcov="bf16"`` as in
+    :func:`overiva`.
     """
     from .models.overiva_ip2 import overiva_ip2_iterations
 
@@ -192,20 +205,26 @@ def overiva_ip2(
     if not 2 <= N <= M:
         raise ValueError(f"IP2 needs 2 <= n_src <= n_chan, got {N}")
     cdtype = np.dtype(dtype or DEFAULT_DTYPE)
+    if str(wcov) not in ("f32", "bf16"):
+        raise ValueError(f"wcov must be 'f32' or 'bf16', got {wcov!r}")
 
     Xd = _to_device(X, cdtype)
     W0d = _to_device(W0, cdtype) if W0 is not None else Xd[:0]
     W_hat, Cx = _prepare(Xd, W0d, N, bool(init_eig), N < M, W0 is not None)
 
     if callback is None:
-        W_hat = overiva_ip2_iterations(Xd, W_hat, Cx, N, int(n_iter), model)
+        W_hat = overiva_ip2_iterations(
+            Xd, W_hat, Cx, N, int(n_iter), model, wcov=str(wcov)
+        )
     else:
         done = 0
         while done < n_iter:
             re, im = _snapshot(Xd, W_hat, N)
             callback(merge_np(np.asarray(re), np.asarray(im)))
             step = min(callback_every, n_iter - done)
-            W_hat = overiva_ip2_iterations(Xd, W_hat, Cx, N, step, model)
+            W_hat = overiva_ip2_iterations(
+                Xd, W_hat, Cx, N, step, model, wcov=str(wcov)
+            )
             done += step
 
     re, im = _finalize(Xd, W_hat, N, bool(proj_back))
@@ -382,6 +401,7 @@ def auxiva(
     callback=None,
     callback_every=10,
     dtype=None,
+    wcov="f32",
 ):
     """Determined AuxIVA. Reference: ``pyroomacoustics.bss.auxiva``."""
     X = np.asarray(X)
@@ -401,6 +421,7 @@ def auxiva(
         callback=callback,
         callback_every=callback_every,
         dtype=dtype,
+        wcov=wcov,
     )
 
 

@@ -104,6 +104,7 @@ def _epoch(
     n_freq=None,
     bin_mask=None,
     chunk_frames=None,
+    wcov: str = "f32",
 ):
     """One OverIVA/AuxIVA epoch: weights + N iterative-projection updates.
 
@@ -141,7 +142,7 @@ def _epoch(
 
     # all N weighted covariances up front (they depend only on the
     # epoch-start phi): one pass over X instead of N (X-read-bound op)
-    Vs = None if chunk_frames else weighted_covariance_all(X, phi)
+    Vs = None if chunk_frames else weighted_covariance_all(X, phi, wcov)
     for k in range(N):  # static unroll — IP updates are order-dependent
         # chunk_frames: stream the frame axis (SURVEY.md §5.7) so long
         # recordings never materialize the (T, F, M) weighted temporary
@@ -175,7 +176,8 @@ def _epoch(
 @partial(
     jax.jit,
     static_argnames=(
-        "n_src", "n_iter", "model", "axis_name", "n_freq", "chunk_frames"
+        "n_src", "n_iter", "model", "axis_name", "n_freq", "chunk_frames",
+        "wcov",
     ),
 )
 def overiva_iterations(
@@ -189,13 +191,19 @@ def overiva_iterations(
     n_freq=None,
     bin_mask=None,
     chunk_frames=None,
+    wcov: str = "f32",
 ):
-    """Run ``n_iter`` fused epochs. X: (T,F,M); W_hat: (F,M,M); Cx: (F,M,M)."""
+    """Run ``n_iter`` fused epochs. X: (T,F,M); W_hat: (F,M,M); Cx: (F,M,M).
+
+    ``wcov="bf16"`` runs the weighted-covariance contraction (the dominant
+    stage) on the MXU in bfloat16 with f32 accumulation — see
+    ``ops.covariance.weighted_covariance_all``."""
     return lax.fori_loop(
         0,
         n_iter,
         lambda _, W: _epoch(
-            X, W, Cx, n_src, model, axis_name, n_freq, bin_mask, chunk_frames
+            X, W, Cx, n_src, model, axis_name, n_freq, bin_mask, chunk_frames,
+            wcov,
         ),
         W_hat,
         unroll=False,

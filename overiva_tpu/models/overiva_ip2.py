@@ -107,7 +107,7 @@ def _reimpose_oc(Wp, Cxp, n_src: int):
 
 def _ip2_epoch(
     X, W_hat, Cx, n_src: int, model: str, axis_name=None, n_freq=None,
-    bin_mask=None,
+    bin_mask=None, wcov: str = "f32",
 ):
     """One IP2 epoch: weights + all-pairs joint updates (+ OC when N < M)."""
     T, F, M = X.shape
@@ -118,7 +118,7 @@ def _ip2_epoch(
         pw = lax.psum(pw, axis_name)
     _, phi = activations_from_power(pw, n_freq or F, model)
 
-    Vs = weighted_covariance_all(X, phi)  # (N, F, M, M)
+    Vs = weighted_covariance_all(X, phi, wcov)  # (N, F, M, M)
     Vps = [to_fminor(Vs[k]) for k in range(N)]
     Wp = to_fminor(W_hat)
     Cxp = to_fminor(Cx) if N < M else None
@@ -132,18 +132,21 @@ def _ip2_epoch(
 
 @partial(
     jax.jit,
-    static_argnames=("n_src", "n_iter", "model", "axis_name", "n_freq"),
+    static_argnames=("n_src", "n_iter", "model", "axis_name", "n_freq", "wcov"),
 )
 def overiva_ip2_iterations(
     X, W_hat, Cx, n_src: int, n_iter: int, model: str,
-    axis_name=None, n_freq=None, bin_mask=None,
+    axis_name=None, n_freq=None, bin_mask=None, wcov: str = "f32",
 ):
-    """Run n_iter fused IP2 epochs. X: (T,F,M); W_hat, Cx: (F,M,M)."""
+    """Run n_iter fused IP2 epochs. X: (T,F,M); W_hat, Cx: (F,M,M).
+
+    ``wcov="bf16"``: MXU bfloat16 weighted-covariance stage (see
+    ``ops.covariance.weighted_covariance_all``)."""
     return lax.fori_loop(
         0,
         n_iter,
         lambda _, W: _ip2_epoch(
-            X, W, Cx, n_src, model, axis_name, n_freq, bin_mask
+            X, W, Cx, n_src, model, axis_name, n_freq, bin_mask, wcov
         ),
         W_hat,
         unroll=False,

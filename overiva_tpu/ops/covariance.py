@@ -42,7 +42,7 @@ def weighted_covariance(X, phi):
     )
 
 
-def weighted_covariance_all(X, phi):
+def weighted_covariance_all(X, phi, wcov: str = "f32"):
     """All sources' weighted covariances in ONE pass over X.
 
     V[k, f] = (1/T) sum_t phi[t, k] x x^H. X: (T, F, M), phi: (T, K)
@@ -51,8 +51,33 @@ def weighted_covariance_all(X, phi):
     perf-neutral vs K separate calls at the benchmark shapes — XLA already
     pipelines the X reads — but it makes the independence explicit and
     keeps the source loop solve-only.)
+
+    ``wcov="bf16"`` feeds the contraction operands to the MXU in bfloat16
+    with float32 accumulation (3.6-4.6x faster on a v5e: 0.78 -> 0.17
+    ms/iter at T=512 — docs/DESIGN.md §2c). Operand rounding is ~1e-3
+    relative on V; the IP iteration is a fixed-point map, so the final
+    separation quality moves by well under 0.1 dB (tests/test_bf16.py).
     """
     T = X.shape[0]
+    if wcov == "bf16":
+        xr = X.real.astype(jnp.bfloat16)
+        xi = X.imag.astype(jnp.bfloat16)
+        w = phi.T[:, :, None, None].astype(jnp.bfloat16)  # (K,1->T,1,1)
+        wr, wi = xr[None] * w, xi[None] * w
+
+        def mm(a, b):
+            return jnp.einsum(
+                "ktfm,tfn->kfmn",
+                a,
+                b,
+                precision=PRECISION,
+                preferred_element_type=jnp.float32,
+            )
+
+        # (a + ib)(c - id) expanded in real planes, f32 accumulation
+        Vre = mm(wr, xr) + mm(wi, xi)
+        Vim = mm(wi, xr) - mm(wr, xi)
+        return (Vre + 1j * Vim).astype(X.dtype) / T
     Xw = X[None] * phi.T[:, :, None, None].astype(X.real.dtype)  # (K,T,F,M)
     return (
         jnp.einsum("ktfm,tfn->kfmn", Xw, jnp.conj(X), precision=PRECISION) / T
