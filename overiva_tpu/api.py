@@ -795,6 +795,109 @@ def _eye_like(X, m):
     return jnp.tile(jnp.eye(m, dtype=X.dtype), (X.shape[1], 1, 1))
 
 
+def fastmnmf2(
+    X,
+    n_src=None,
+    n_iter=30,
+    n_components=2,
+    mic_index=0,
+    init="whiten",
+    n_noise="auto",
+    return_filters=False,
+    callback=None,
+    callback_every=10,
+    seed=0,
+    dtype=None,
+):
+    """FastMNMF2 (full-rank spatial model, jointly-diagonalizable SCMs) —
+    extension beyond the reference repo (Sekiguchi et al., IEEE/ACM TASLP
+    2020; oracle twin ``overiva_tpu.oracle.fastmnmf2`` carries the
+    derivation, the likelihood-monotonicity validation, and the init /
+    noise-slot design notes).
+
+    X: (n_frames, n_freq, n_chan) complex. Returns Y (n_frames, n_freq,
+    n_src) — multichannel-Wiener source images at ``mic_index`` (already
+    minimally distorted; no projection back step exists in this model)
+    [, (Q, g, W, H) of the full model if ``return_filters``]. Init matches
+    the oracle: whitened (or identity) Q, diag-dominant g, one
+    ``default_rng(seed).random`` draw each for the NMF basis/activations.
+    ``n_noise`` extra slots ("auto": one when n_src < n_chan) absorb the
+    noise floor; the n_src highest-energy images are returned.
+    """
+    from .models.fastmnmf2 import fastmnmf2_iterations
+
+    X = np.asarray(X)
+    T, F, M = X.shape
+    N_out = M if n_src is None else int(n_src)
+    if N_out < 1:
+        raise ValueError("need n_src >= 1")
+    if init not in ("whiten", "eye"):
+        raise ValueError(f"init must be 'whiten' or 'eye', got {init!r}")
+    if n_noise == "auto":
+        n_noise = 1 if N_out < M else 0
+    N = N_out + int(n_noise)
+    cdtype = np.dtype(dtype or DEFAULT_DTYPE)
+    rdtype = real_dtype_of(cdtype)
+
+    rng = np.random.default_rng(seed)
+    g = np.full((N, M), 1e-2)
+    for n in range(N):
+        g[n, n % M] = 1.0
+    g /= g.sum(axis=1, keepdims=True)
+    W = (rng.random((N, F, n_components)) + 0.1).astype(rdtype)
+    H = (rng.random((N, n_components, T)) + 0.1).astype(rdtype)
+
+    Xd = _to_device(X, cdtype)
+    Q = _whiten_q(Xd) if init == "whiten" else _eye_like(Xd, M)
+    gd, Wd, Hd = jnp.asarray(g.astype(rdtype)), jnp.asarray(W), jnp.asarray(H)
+
+    def snapshot(state):
+        re, im = _fastmnmf2_snapshot(Xd, *state, int(mic_index), N_out)
+        return merge_np(np.asarray(re), np.asarray(im))
+
+    state = (Q, gd, Wd, Hd)
+    if callback is None:
+        state = fastmnmf2_iterations(Xd, *state, int(n_iter))
+    else:
+        done = 0
+        while done < n_iter:
+            callback(snapshot(state))
+            step = min(callback_every, n_iter - done)
+            state = fastmnmf2_iterations(Xd, *state, step)
+            done += step
+
+    Y = snapshot(state)
+    if return_filters:
+        return Y, (_to_host(state[0]),) + tuple(
+            np.asarray(s) for s in state[1:]
+        )
+    return Y
+
+
+@jax.jit
+def _whiten_q(X):
+    """Per-bin whitening basis Lam^{-1/2} E^H of the input covariance."""
+    from .ops.covariance import covariance
+    from .ops.linalg import align_eigvec_phase, eigh, mat_h
+
+    ew, E = eigh(covariance(X))
+    E = align_eigvec_phase(E)
+    scaled = E / jnp.sqrt(jnp.maximum(ew, 1e-12))[:, None, :].astype(E.real.dtype)
+    return mat_h(scaled)
+
+
+@partial(jax.jit, static_argnames=("mic_index", "n_out"))
+def _fastmnmf2_snapshot(X, Q, g, W, H, mic_index, n_out):
+    from .models.fastmnmf2 import fastmnmf2_wiener
+
+    Y = fastmnmf2_wiener(X, Q, g, W, H, mic_index)
+    if n_out < Y.shape[2]:
+        en = jnp.sum(jnp.abs(Y) ** 2, axis=(0, 1))
+        pick = jnp.sort(jnp.argsort(-en)[:n_out])
+        Y = jnp.take(Y, pick, axis=2)
+    return jnp.real(Y), jnp.imag(Y)
+
+
 # ------------------------------------------------- fully fused time pipeline
 
 @partial(

@@ -1,0 +1,148 @@
+"""FastMNMF2 — fused JAX iteration (trace-side).
+
+TPU-native twin of ``overiva_tpu.oracle.fastmnmf2`` (Sekiguchi et al. 2020,
+jointly-diagonalizable full-rank spatial model; extension beyond the
+reference repo — SURVEY.md §2.1 tops out at ILRMA). One XLA program runs
+``lax.fori_loop`` over epochs; each epoch is IS-NMF multiplicative updates
+(pure elementwise/einsum — VPU/MXU friendly), a multiplicative update of
+the spatial weights g, and M sequential iterative-projection rows of the
+shared diagonalizer Q with per-(t,f,m) weights 1/D, reusing the bin-minor
+solve machinery of the IVA family (ops/fminor.py, docs/DESIGN.md §2b).
+
+The update equations are locked to the oracle by the exact-likelihood
+monotonicity property and a trajectory-level parity test
+(tests/test_fastmnmf2.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.covariance import weighted_covariance_tf
+from ..ops.fminor import (
+    gauss_solve_fm,
+    matmul_fm,
+    to_fmajor,
+    to_fminor,
+)
+from ..ops.linalg import PRECISION
+
+__all__ = ["fastmnmf2_iterations", "fastmnmf2_wiener"]
+
+_EPS = 1e-10
+
+
+def _psd(W, H):
+    return jnp.maximum(
+        jnp.einsum("nfl,nlt->nft", W, H, precision=PRECISION), _EPS
+    )
+
+
+def _denom(lam, g):
+    return jnp.maximum(
+        jnp.einsum("nft,nm->tfm", lam, g, precision=PRECISION), _EPS
+    )
+
+
+def _epoch(X, Q, g, W, H):
+    T, F, M = X.shape
+
+    Qx = jnp.einsum("fmn,tfn->tfm", Q, X, precision=PRECISION)
+    y = jnp.abs(Qx) ** 2  # (T, F, M) real
+
+    def weights(lam):
+        D = _denom(lam, g)
+        S1 = jnp.einsum("tfm,nm->nft", y / D**2, g, precision=PRECISION)
+        S2 = jnp.einsum("tfm,nm->nft", 1.0 / D, g, precision=PRECISION)
+        return D, S1, S2
+
+    # ---- NMF basis W ----
+    _, S1, S2 = weights(_psd(W, H))
+    num = jnp.einsum("nft,nlt->nfl", S1, H, precision=PRECISION)
+    den = jnp.einsum("nft,nlt->nfl", S2, H, precision=PRECISION)
+    W = jnp.maximum(W * jnp.sqrt(num / jnp.maximum(den, _EPS)), _EPS)
+
+    # ---- NMF activations H ----
+    _, S1, S2 = weights(_psd(W, H))
+    num = jnp.einsum("nft,nfl->nlt", S1, W, precision=PRECISION)
+    den = jnp.einsum("nft,nfl->nlt", S2, W, precision=PRECISION)
+    H = jnp.maximum(H * jnp.sqrt(num / jnp.maximum(den, _EPS)), _EPS)
+
+    # ---- spatial weights g ----
+    lam = _psd(W, H)
+    D = _denom(lam, g)
+    num = jnp.einsum("nft,tfm->nm", lam, y / D**2, precision=PRECISION)
+    den = jnp.einsum("nft,tfm->nm", lam, 1.0 / D, precision=PRECISION)
+    g = jnp.maximum(g * jnp.sqrt(num / jnp.maximum(den, _EPS)), _EPS)
+
+    # ---- diagonalizer rows: sequential IP with weights 1/D (D fixed) ----
+    lam = _psd(W, H)
+    D = _denom(lam, g)
+    Qp = to_fminor(Q)  # (M, M, F)
+    e = jnp.eye(M, dtype=X.dtype)
+    for m in range(M):  # static unroll — rows are order-dependent via Q
+        V = weighted_covariance_tf(X, 1.0 / D[:, :, m])  # (F, M, M)
+        Vp = to_fminor(V)
+        QV = matmul_fm(Qp, Vp)
+        rhs = jnp.broadcast_to(e[:, m, None, None], (M, 1, F))
+        q = gauss_solve_fm(QV, rhs)[:, 0, :]  # (M, F)
+        nrm = jnp.sum(jnp.conj(q)[:, None, :] * Vp * q[None, :, :], axis=(0, 1))
+        q = q / jnp.sqrt(jnp.maximum(jnp.real(nrm), _EPS)).astype(q.real.dtype)
+        # static-index row replacement (scatter-free — DESIGN.md §2b)
+        Qp = jnp.concatenate([Qp[:m], jnp.conj(q)[None], Qp[m + 1 :]], axis=0)
+    Q = to_fmajor(Qp)
+
+    # ---- likelihood-invariant normalization ----
+    phi = jnp.real(jnp.einsum("fmn,fmn->f", Q, jnp.conj(Q))) / M
+    Q = Q / jnp.sqrt(phi)[:, None, None].astype(Q.real.dtype)
+    W = W / phi[None, :, None]
+    mu = jnp.sum(g, axis=1, keepdims=True)
+    g = g / mu
+    W = W * mu[:, :, None]
+    nu = jnp.maximum(jnp.sum(W, axis=1, keepdims=True), _EPS)  # (N, 1, L)
+    W = W / nu
+    H = H * jnp.transpose(nu, (0, 2, 1))
+    return Q, g, W, H
+
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def fastmnmf2_iterations(X, Q, g, W, H, n_iter: int):
+    """Run ``n_iter`` fused epochs. X: (T,F,M) complex; Q: (F,M,M);
+    g: (N,M); W: (N,F,L); H: (N,L,T)."""
+    return lax.fori_loop(
+        0,
+        n_iter,
+        lambda _, s: _epoch(X, *s),
+        (Q, g, W, H),
+        unroll=False,
+    )
+
+
+@partial(jax.jit, static_argnames=("mic_index",))
+def fastmnmf2_wiener(X, Q, g, W, H, mic_index: int = 0):
+    """Multichannel Wiener source images at one mic: (T, F, N) complex.
+
+    x_hat[n] = (Q^{-1} diag(lam_n g_n / D) Q x)[mic_index].
+    """
+    T, F, M = X.shape
+    Qx = jnp.einsum("fmn,tfn->tfm", Q, X, precision=PRECISION)
+    lam = _psd(W, H)
+    D = _denom(lam, g)
+    # row ``mic_index`` of Q^{-1}: solve Q^T r = e_mic
+    e = jnp.zeros((M,), Q.dtype).at[mic_index].set(1.0)
+    Qt = to_fminor(jnp.swapaxes(Q, 1, 2))
+    r = gauss_solve_fm(Qt, jnp.broadcast_to(e[:, None, None], (M, 1, F)))
+    r = jnp.swapaxes(r[:, 0, :], 0, 1)  # (F, M)
+    # gain[n][t,f,m] = lam[n,f,t] g[n,m] / D[t,f,m]
+    gain = (
+        jnp.transpose(lam, (0, 2, 1))[:, :, :, None]  # (N, T, F, 1)
+        * g[:, None, None, :]  # (N, 1, 1, M)
+        / D[None]  # (1, T, F, M)
+    )
+    return jnp.einsum(
+        "fm,ntfm->tfn", r, gain * Qx[None], precision=PRECISION
+    )

@@ -9,7 +9,9 @@ NumPy, independent of the JAX code paths.
 from .auxiva import auxiva
 from .auxiva_iss import auxiva_iss
 from .auxiva_pca import auxiva_pca, pca
+from .fastmnmf2 import fastmnmf2, fastmnmf2_loglik
 from .five import five
+from .ilrma import ilrma
 from .models import EPS, MODELS, activations
 from .ogive import ogive
 from .overiva import overiva
@@ -28,8 +30,11 @@ __all__ = [
     "auxiva_ip2",
     "auxiva_iss",
     "auxiva_pca",
+    "fastmnmf2",
+    "fastmnmf2_loglik",
     "five",
     "hann",
+    "ilrma",
     "ogive",
     "overiva",
     "overiva_ip2",

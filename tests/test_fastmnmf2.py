@@ -1,0 +1,121 @@
+"""FastMNMF2: likelihood monotonicity, separation quality, oracle parity.
+
+The update equations are reconstructed from the published FastMNMF2 MM
+derivation (Sekiguchi et al. 2020; no reference source available —
+PARITY.md row 15). Monotone non-decrease of the EXACT log-likelihood
+after every epoch is the correctness anchor: each sub-update (W, H, g,
+Q rows, normalization) is an MM step or a reparametrization, so any
+equation error shows up as a likelihood drop.
+"""
+
+import numpy as np
+import pytest
+
+from overiva_tpu import api
+from overiva_tpu.metrics import BssEvalReferences
+from overiva_tpu.oracle import synthesis
+from overiva_tpu.oracle.fastmnmf2 import fastmnmf2, fastmnmf2_loglik
+from overiva_tpu.registry import applicable, get_algorithm
+
+from helpers import make_mixture, stft_mixture
+
+
+@pytest.fixture(scope="module")
+def mixture32():
+    rng = np.random.default_rng(11)
+    mix, premix, src = make_mixture(
+        rng, n_src=2, n_mics=3, n_samples=24000, n_taps=8, snr_db=25
+    )
+    X = stft_mixture(mix, 512)
+    return mix, premix, X
+
+
+def test_oracle_loglik_monotone(mixture32):
+    _, _, X = mixture32
+    lls = []
+    for it in range(9):
+        _, params = fastmnmf2(X, n_src=2, n_iter=it, seed=5, return_filters=True)
+        lls.append(fastmnmf2_loglik(X, *params))
+    diffs = np.diff(lls)
+    assert np.all(diffs >= -1e-6 * np.abs(np.asarray(lls[:-1]))), lls
+
+
+def test_oracle_normalization_is_reparametrization(mixture32):
+    """The per-epoch rescaling must not move the likelihood: the parameters
+    after normalize describe the same model."""
+    _, _, X = mixture32
+    _, (Q, g, W, H) = fastmnmf2(X, n_src=2, n_iter=4, seed=5, return_filters=True)
+    ll = fastmnmf2_loglik(X, Q, g, W, H)
+    # re-apply the (likelihood-invariant) normalization by hand
+    M = Q.shape[1]
+    phi = np.real(np.einsum("fmn,fmn->f", Q, np.conj(Q))) / M
+    ll2 = fastmnmf2_loglik(
+        X, Q / np.sqrt(phi)[:, None, None], g, W / phi[None, :, None], H
+    )
+    np.testing.assert_allclose(ll, ll2, rtol=1e-9)
+
+
+def test_oracle_separates(mixture32):
+    mix, premix, X = mixture32
+    Y = fastmnmf2(X, n_src=2, n_iter=40, seed=5)
+    y = synthesis(Y, 512, 256)[256:][: mix.shape[0]]
+    ev = BssEvalReferences(premix[:, :, 0])
+    _, sir_mix, _, _ = ev.evaluate(np.tile(mix[:, 0], (2, 1)))
+    _, sir, _, _ = ev.evaluate(y.T)
+    assert sir.mean() > sir_mix.mean() + 10, (sir_mix, sir)
+    assert sir.mean() > 12
+
+
+def test_jax_matches_oracle(mixture32):
+    """Same init, 12 epochs: SDR/SIR parity within the 0.1 dB gate."""
+    mix, premix, X = mixture32
+    ev = BssEvalReferences(premix[:, :, 0])
+
+    def score(Y):
+        y = synthesis(np.asarray(Y, dtype=np.complex128), 512, 256)
+        y = y[256:][: mix.shape[0]]
+        sdr, sir, _, _ = ev.evaluate(y.T)
+        return sdr, sir
+
+    sdr_o, sir_o = score(fastmnmf2(X, n_src=2, n_iter=12, seed=5))
+    sdr_j, sir_j = score(api.fastmnmf2(X, n_src=2, n_iter=12, seed=5))
+    assert np.abs(sdr_j - sdr_o).max() < 0.1, (sdr_o, sdr_j)
+    assert np.abs(sir_j - sir_o).max() < 0.1, (sir_o, sir_j)
+
+
+def test_jax_filters_match_oracle(mixture32):
+    """Trajectory-level check: parameters agree after a few epochs."""
+    _, _, X = mixture32
+    _, p_o = fastmnmf2(X, n_src=2, n_iter=5, seed=5, return_filters=True)
+    _, p_j = api.fastmnmf2(X, n_src=2, n_iter=5, seed=5, return_filters=True)
+    for name, a, b in zip("QgWH", p_o, p_j):
+        a = np.asarray(a)
+        b = np.asarray(b, dtype=a.dtype)
+        scale = np.abs(a).max()
+        assert np.abs(a - b).max() < 5e-3 * scale, name
+
+
+def test_overdetermined_and_callback(mixture32):
+    """n_src < n_chan works; callback receives (T, F, n_src) snapshots."""
+    _, _, X = mixture32
+    seen = []
+    Y = api.fastmnmf2(
+        X, n_src=2, n_iter=6, seed=1, callback=lambda y: seen.append(y.shape),
+        callback_every=3,
+    )
+    assert Y.shape == (X.shape[0], X.shape[1], 2)
+    assert seen == [(X.shape[0], X.shape[1], 2)] * 2
+
+
+def test_registry_entry(mixture32):
+    _, _, X = mixture32
+    assert applicable("fastmnmf2", 2, 3)
+    assert applicable("fastmnmf2", 3, 3)
+    Y = get_algorithm("fastmnmf2")(X, n_src=2, n_iter=2)
+    assert Y.shape[2] == 2
+
+
+def test_validation():
+    X = np.zeros((8, 5, 2), dtype=np.complex64)
+    with pytest.raises(ValueError):
+        api.fastmnmf2(X, n_src=0)
