@@ -1055,6 +1055,75 @@ def overiva_ip2_batch(
 
 
 @partial(
+    jax.jit, static_argnames=("n_iter", "mic_index", "init", "n_out")
+)
+def _fastmnmf2_batch_jit(X, g, W, H, n_iter, mic_index, init, n_out):
+    from .models.fastmnmf2 import fastmnmf2_iterations, fastmnmf2_wiener
+
+    M = X.shape[3]
+
+    def one(Xb, Wb, Hb):
+        Q = _whiten_q(Xb) if init == "whiten" else _eye_like(Xb, M)
+        Q, gq, Wq, Hq = fastmnmf2_iterations(Xb, Q, g, Wb, Hb, n_iter)
+        Y = fastmnmf2_wiener(Xb, Q, gq, Wq, Hq, mic_index)
+        if n_out < Y.shape[2]:
+            en = jnp.sum(jnp.abs(Y) ** 2, axis=(0, 1))
+            pick = jnp.sort(jnp.argsort(-en)[:n_out])
+            Y = jnp.take_along_axis(Y, pick[None, None, :], axis=2)
+        return Y
+
+    Y = jax.vmap(one)(X, W, H)
+    return jnp.real(Y), jnp.imag(Y)
+
+
+def fastmnmf2_batch(
+    X,
+    n_src=None,
+    n_iter=30,
+    n_components=2,
+    mic_index=0,
+    init="whiten",
+    n_noise="auto",
+    seed=0,
+    dtype=None,
+):
+    """Batch of same-shape mixtures through FastMNMF2 in ONE fused XLA
+    program. X: (batch, T, F, M) -> (batch, T, F, n_src). Element b's NMF
+    init matches ``fastmnmf2(X[b], seed=seed + b)``.
+    """
+    X = np.asarray(X)
+    B, T, F, M = X.shape
+    N_out = M if n_src is None else int(n_src)
+    if N_out < 1:
+        raise ValueError("need n_src >= 1")
+    if init not in ("whiten", "eye"):
+        raise ValueError(f"init must be 'whiten' or 'eye', got {init!r}")
+    if n_noise == "auto":
+        n_noise = 1 if N_out < M else 0
+    N = N_out + int(n_noise)
+    cdtype = np.dtype(dtype or DEFAULT_DTYPE)
+    rdtype = real_dtype_of(cdtype)
+
+    g = np.full((N, M), 1e-2)
+    for n in range(N):
+        g[n, n % M] = 1.0
+    g /= g.sum(axis=1, keepdims=True)
+    W = np.empty((B, N, F, n_components), rdtype)
+    H = np.empty((B, N, n_components, T), rdtype)
+    for b in range(B):
+        rng = np.random.default_rng(seed + b)
+        W[b] = (rng.random((N, F, n_components)) + 0.1).astype(rdtype)
+        H[b] = (rng.random((N, n_components, T)) + 0.1).astype(rdtype)
+
+    Xd = _to_device(X, cdtype)
+    re, im = _fastmnmf2_batch_jit(
+        Xd, jnp.asarray(g.astype(rdtype)), jnp.asarray(W), jnp.asarray(H),
+        int(n_iter), int(mic_index), init, N_out,
+    )
+    return merge_np(np.asarray(re), np.asarray(im))
+
+
+@partial(
     jax.jit, static_argnames=("n_src", "n_iter", "model", "proj_back")
 )
 def _iss_batch_jit(X, n_src, n_iter, model, proj_back):

@@ -88,3 +88,15 @@ def test_five_batch_matches_loop(batch43):
     for b in range(3):
         Yref = api.five(batch[b], n_iter=5, dtype=np.complex128)
         np.testing.assert_allclose(Yb[b], Yref, rtol=1e-6, atol=1e-8)
+
+
+def test_fastmnmf2_batch_matches_loop(batch43):
+    batch = batch43
+    Yb = api.fastmnmf2_batch(
+        batch, n_src=2, n_iter=6, seed=9, dtype=np.complex128
+    )
+    for b in range(3):
+        Yref = api.fastmnmf2(
+            batch[b], n_src=2, n_iter=6, seed=9 + b, dtype=np.complex128
+        )
+        np.testing.assert_allclose(Yb[b], Yref, rtol=1e-6, atol=1e-8)
