@@ -876,14 +876,9 @@ def fastmnmf2(
 
 @jax.jit
 def _whiten_q(X):
-    """Per-bin whitening basis Lam^{-1/2} E^H of the input covariance."""
-    from .ops.covariance import covariance
-    from .ops.linalg import align_eigvec_phase, eigh, mat_h
+    from .models.fastmnmf2 import whiten_q
 
-    ew, E = eigh(covariance(X))
-    E = align_eigvec_phase(E)
-    scaled = E / jnp.sqrt(jnp.maximum(ew, 1e-12))[:, None, :].astype(E.real.dtype)
-    return mat_h(scaled)
+    return whiten_q(X)
 
 
 @partial(jax.jit, static_argnames=("mic_index", "n_out"))

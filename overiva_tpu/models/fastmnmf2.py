@@ -31,9 +31,22 @@ from ..ops.fminor import (
 )
 from ..ops.linalg import PRECISION
 
-__all__ = ["fastmnmf2_iterations", "fastmnmf2_wiener"]
+__all__ = ["fastmnmf2_iterations", "fastmnmf2_wiener", "whiten_q"]
 
 _EPS = 1e-10
+
+
+def whiten_q(X):
+    """Per-bin whitening basis Lam^{-1/2} E^H of the input covariance —
+    the default Q init (identity init falls into non-separating local
+    optima on most random mixtures; oracle docstring has the data)."""
+    from ..ops.covariance import covariance
+    from ..ops.linalg import align_eigvec_phase, eigh, mat_h
+
+    ew, E = eigh(covariance(X))
+    E = align_eigvec_phase(E)
+    scale = jnp.sqrt(jnp.maximum(ew, 1e-12))[:, None, :].astype(E.real.dtype)
+    return mat_h(E / scale)
 
 
 def _psd(W, H):
@@ -48,8 +61,23 @@ def _denom(lam, g):
     )
 
 
-def _epoch(X, Q, g, W, H):
+def _epoch(X, Q, g, W, H, axis_name=None, bin_mask=None):
+    """One epoch. When bins are sharded over ``axis_name``, the only
+    collectives are psums of the frequency-reduced NMF/spatial statistics
+    (H and g numerators/denominators, the W normalizer) — everything else
+    is per-bin local. ``bin_mask`` (F_local,) zeroes padded bins'
+    contributions to those global sums."""
     T, F, M = X.shape
+
+    def allsum(x):
+        return x if axis_name is None else lax.psum(x, axis_name)
+
+    def fmask(x):  # zero padded bins along axis 1 of an (n, F, ...) tensor
+        if bin_mask is None:
+            return x
+        shape = [1] * x.ndim
+        shape[1] = x.shape[1]
+        return x * bin_mask.reshape(shape).astype(x.dtype)
 
     Qx = jnp.einsum("fmn,tfn->tfm", Q, X, precision=PRECISION)
     y = jnp.abs(Qx) ** 2  # (T, F, M) real
@@ -60,23 +88,27 @@ def _epoch(X, Q, g, W, H):
         S2 = jnp.einsum("tfm,nm->nft", 1.0 / D, g, precision=PRECISION)
         return D, S1, S2
 
-    # ---- NMF basis W ----
+    # ---- NMF basis W (per-frequency: local, no collectives) ----
     _, S1, S2 = weights(_psd(W, H))
     num = jnp.einsum("nft,nlt->nfl", S1, H, precision=PRECISION)
     den = jnp.einsum("nft,nlt->nfl", S2, H, precision=PRECISION)
     W = jnp.maximum(W * jnp.sqrt(num / jnp.maximum(den, _EPS)), _EPS)
 
-    # ---- NMF activations H ----
+    # ---- NMF activations H (sums over ALL bins: one psum pair) ----
     _, S1, S2 = weights(_psd(W, H))
-    num = jnp.einsum("nft,nfl->nlt", S1, W, precision=PRECISION)
-    den = jnp.einsum("nft,nfl->nlt", S2, W, precision=PRECISION)
+    num = allsum(jnp.einsum("nft,nfl->nlt", fmask(S1), W, precision=PRECISION))
+    den = allsum(jnp.einsum("nft,nfl->nlt", fmask(S2), W, precision=PRECISION))
     H = jnp.maximum(H * jnp.sqrt(num / jnp.maximum(den, _EPS)), _EPS)
 
-    # ---- spatial weights g ----
+    # ---- spatial weights g (sums over all bins and frames: one psum pair) ----
     lam = _psd(W, H)
     D = _denom(lam, g)
-    num = jnp.einsum("nft,tfm->nm", lam, y / D**2, precision=PRECISION)
-    den = jnp.einsum("nft,tfm->nm", lam, 1.0 / D, precision=PRECISION)
+    num = allsum(
+        jnp.einsum("nft,tfm->nm", fmask(lam), y / D**2, precision=PRECISION)
+    )
+    den = allsum(
+        jnp.einsum("nft,tfm->nm", fmask(lam), 1.0 / D, precision=PRECISION)
+    )
     g = jnp.maximum(g * jnp.sqrt(num / jnp.maximum(den, _EPS)), _EPS)
 
     # ---- diagonalizer rows: sequential IP with weights 1/D (D fixed) ----
@@ -96,27 +128,32 @@ def _epoch(X, Q, g, W, H):
         Qp = jnp.concatenate([Qp[:m], jnp.conj(q)[None], Qp[m + 1 :]], axis=0)
     Q = to_fmajor(Qp)
 
-    # ---- likelihood-invariant normalization ----
+    # ---- likelihood-invariant normalization (nu sums over all bins) ----
     phi = jnp.real(jnp.einsum("fmn,fmn->f", Q, jnp.conj(Q))) / M
     Q = Q / jnp.sqrt(phi)[:, None, None].astype(Q.real.dtype)
     W = W / phi[None, :, None]
     mu = jnp.sum(g, axis=1, keepdims=True)
     g = g / mu
     W = W * mu[:, :, None]
-    nu = jnp.maximum(jnp.sum(W, axis=1, keepdims=True), _EPS)  # (N, 1, L)
+    nu = jnp.maximum(
+        allsum(jnp.sum(fmask(W), axis=1, keepdims=True)), _EPS
+    )  # (N, 1, L)
     W = W / nu
     H = H * jnp.transpose(nu, (0, 2, 1))
     return Q, g, W, H
 
 
-@partial(jax.jit, static_argnames=("n_iter",))
-def fastmnmf2_iterations(X, Q, g, W, H, n_iter: int):
+@partial(jax.jit, static_argnames=("n_iter", "axis_name"))
+def fastmnmf2_iterations(
+    X, Q, g, W, H, n_iter: int, axis_name=None, bin_mask=None
+):
     """Run ``n_iter`` fused epochs. X: (T,F,M) complex; Q: (F,M,M);
-    g: (N,M); W: (N,F,L); H: (N,L,T)."""
+    g: (N,M); W: (N,F,L); H: (N,L,T). ``axis_name``/``bin_mask``: bin
+    sharding (see ``_epoch``)."""
     return lax.fori_loop(
         0,
         n_iter,
-        lambda _, s: _epoch(X, *s),
+        lambda _, s: _epoch(X, *s, axis_name=axis_name, bin_mask=bin_mask),
         (Q, g, W, H),
         unroll=False,
     )

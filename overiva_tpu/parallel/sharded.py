@@ -27,6 +27,7 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from ..models import auxiva_iss as _iss
+from ..models import fastmnmf2 as _fmnmf
 from ..models import ilrma as _ilrma
 from ..models import ogive as _ogive
 from ..models import overiva as _core
@@ -43,6 +44,7 @@ __all__ = [
     "sharded_ilrma",
     "sharded_overiva_iss",
     "sharded_overiva_ip2",
+    "sharded_fastmnmf2",
 ]
 
 
@@ -458,5 +460,103 @@ def sharded_overiva(
         model,
         bool(proj_back),
         int(F),
+    )
+    return Y[:, :, :F, :]
+
+def _fastmnmf2_one(X, g0, W0, H0, bin_mask, n_iter, mic_index, n_out):
+    """Per-shard, per-mixture FastMNMF2 on the local bin slice.
+
+    Per-bin work (W/Q updates, whitening init, Wiener) is local; the
+    frequency-reduced NMF/spatial statistics psum over AXIS_BINS inside
+    the epoch (models/fastmnmf2._epoch). Output-slot selection uses the
+    GLOBAL image energies so every shard picks the same sources."""
+    Q = _fmnmf.whiten_q(X)
+    g0 = jax.lax.pcast(g0, (AXIS_MIX, AXIS_BINS), to="varying")
+    Q, g, W, H = _fmnmf.fastmnmf2_iterations(
+        X, Q, g0, W0, H0, n_iter, axis_name=AXIS_BINS, bin_mask=bin_mask
+    )
+    Y = _fmnmf.fastmnmf2_wiener(X, Q, g, W, H, mic_index)
+    if n_out < Y.shape[2]:
+        en = jnp.sum(jnp.abs(Y) ** 2 * bin_mask[None, :, None], axis=(0, 1))
+        en = jax.lax.psum(en, AXIS_BINS)
+        pick = jnp.sort(jnp.argsort(-en)[:n_out])
+        Y = jnp.take_along_axis(Y, pick[None, None, :], axis=2)
+    return Y
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "n_iter", "mic_index", "n_out"),
+)
+def _sharded_fastmnmf2_padded(X, g0, W0, H0, bin_mask, mesh, n_iter,
+                              mic_index, n_out):
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(AXIS_MIX, None, AXIS_BINS, None),
+            P(None, None),
+            P(AXIS_MIX, None, AXIS_BINS, None),
+            P(AXIS_MIX, None, None, None),
+            P(AXIS_BINS),
+        ),
+        out_specs=P(AXIS_MIX, None, AXIS_BINS, None),
+    )
+    def run(Xl, g0l, W0l, H0l, maskl):
+        sep = lambda x, w0, h0: _fastmnmf2_one(
+            x, g0l, w0, h0, maskl, n_iter, mic_index, n_out
+        )
+        return jax.vmap(sep)(Xl, W0l, H0l)
+
+    return run(X, g0, W0, H0, bin_mask)
+
+
+def sharded_fastmnmf2(
+    mesh,
+    X_batch,
+    n_src: int | None = None,
+    n_iter: int = 30,
+    n_components: int = 2,
+    mic_index: int = 0,
+    n_noise="auto",
+    seed: int = 0,
+):
+    """FastMNMF2 over the mesh. X_batch: (B, T, F, M) complex.
+
+    NMF init matches ``api.fastmnmf2(seed=seed + b)`` per batch element
+    (padded bins replicate the last real bin's basis rows; their
+    contributions are masked out of the psum'd statistics)."""
+    B, T, F, M = X_batch.shape
+    N_out = M if n_src is None else int(n_src)
+    if n_noise == "auto":
+        n_noise = 1 if N_out < M else 0
+    N = N_out + int(n_noise)
+    n_mix = mesh.shape[AXIS_MIX]
+    n_bins = mesh.shape[AXIS_BINS]
+    if B % n_mix != 0:
+        raise ValueError(f"batch {B} not divisible by mix axis {n_mix}")
+    F_pad, mask = pad_bins(F, n_bins)
+    if F_pad != F:
+        reps = jnp.repeat(X_batch[:, :, -1:, :], F_pad - F, axis=2)
+        X_batch = jnp.concatenate([X_batch, reps], axis=2)
+
+    rdtype = np.float32 if X_batch.dtype == jnp.complex64 else np.float64
+    g0 = np.full((N, M), 1e-2)
+    for n in range(N):
+        g0[n, n % M] = 1.0
+    g0 /= g0.sum(axis=1, keepdims=True)
+    W0 = np.empty((B, N, F_pad, n_components), rdtype)
+    H0 = np.empty((B, N, n_components, T), rdtype)
+    for b in range(B):
+        rng = np.random.default_rng(seed + b)
+        Wb = (rng.random((N, F, n_components)) + 0.1).astype(rdtype)
+        W0[b, :, :F] = Wb
+        W0[b, :, F:] = Wb[:, -1:, :]
+        H0[b] = (rng.random((N, n_components, T)) + 0.1).astype(rdtype)
+
+    Y = _sharded_fastmnmf2_padded(
+        X_batch, jnp.asarray(g0.astype(rdtype)), jnp.asarray(W0),
+        jnp.asarray(H0), jnp.asarray(mask), mesh, int(n_iter),
+        int(mic_index), int(N_out),
     )
     return Y[:, :, :F, :]

@@ -96,3 +96,19 @@ def test_sharded_ogive_matches_single_device(batch, mesh_shape):
             batch[b], n_iter=40, step_size=0.05, tol=1e-4, dtype=np.complex128
         )
         np.testing.assert_allclose(Y[b], Yref, rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+def test_sharded_fastmnmf2_matches_single_device(batch, mesh_shape):
+    from overiva_tpu import api
+    from overiva_tpu.parallel.sharded import sharded_fastmnmf2
+
+    mesh = make_mesh(*mesh_shape, devices=jax.devices()[: mesh_shape[0] * mesh_shape[1]])
+    Y = np.asarray(
+        sharded_fastmnmf2(mesh, jnp.asarray(batch), n_src=2, n_iter=5, seed=7)
+    )
+    for b in range(batch.shape[0]):
+        Yref = api.fastmnmf2(
+            batch[b], n_src=2, n_iter=5, seed=7 + b, dtype=np.complex128
+        )
+        np.testing.assert_allclose(Y[b], Yref, rtol=1e-5, atol=1e-7)
