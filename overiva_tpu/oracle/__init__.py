@@ -11,7 +11,6 @@ from .auxiva_iss import auxiva_iss
 from .auxiva_pca import auxiva_pca, pca
 from .fastmnmf2 import fastmnmf2, fastmnmf2_loglik
 from .five import five
-from .ilrma import ilrma
 from .models import EPS, MODELS, activations
 from .ogive import ogive
 from .overiva import overiva
@@ -34,7 +33,6 @@ __all__ = [
     "fastmnmf2_loglik",
     "five",
     "hann",
-    "ilrma",
     "ogive",
     "overiva",
     "overiva_ip2",
