@@ -747,10 +747,12 @@ def ilrma(
     callback_every=10,
     seed=0,
     dtype=None,
+    wcov="f32",
 ):
     """ILRMA (determined, NMF source model). Reference:
     ``pyroomacoustics.bss.ilrma``. NMF init matches the oracle: one
-    ``default_rng(seed).random`` draw each for basis and activations."""
+    ``default_rng(seed).random`` draw each for basis and activations.
+    ``wcov="bf16"`` as in :func:`overiva`."""
     from .models.ilrma import ilrma_iterations
 
     X = np.asarray(X)
@@ -760,6 +762,8 @@ def ilrma(
         raise ValueError("ilrma is determined: n_src must equal n_chan")
     cdtype = np.dtype(dtype or DEFAULT_DTYPE)
     rdtype = real_dtype_of(cdtype)
+    if str(wcov) not in ("f32", "bf16"):
+        raise ValueError(f"wcov must be 'f32' or 'bf16', got {wcov!r}")
 
     rng = np.random.default_rng(seed)
     B = (rng.random((N, F, n_components)) + 0.1).astype(rdtype)
@@ -773,14 +777,14 @@ def ilrma(
 
     Bd, Hd = jnp.asarray(B), jnp.asarray(H)
     if callback is None:
-        W, Bd, Hd = ilrma_iterations(Xd, W, Bd, Hd, int(n_iter))
+        W, Bd, Hd = ilrma_iterations(Xd, W, Bd, Hd, int(n_iter), str(wcov))
     else:
         done = 0
         while done < n_iter:
             re, im = _snapshot(Xd, W, N)
             callback(merge_np(np.asarray(re), np.asarray(im)))
             step = min(callback_every, n_iter - done)
-            W, Bd, Hd = ilrma_iterations(Xd, W, Bd, Hd, step)
+            W, Bd, Hd = ilrma_iterations(Xd, W, Bd, Hd, step, str(wcov))
             done += step
 
     re, im = _finalize(Xd, W, N, bool(proj_back))
@@ -808,6 +812,7 @@ def fastmnmf2(
     callback_every=10,
     seed=0,
     dtype=None,
+    wcov="f32",
 ):
     """FastMNMF2 (full-rank spatial model, jointly-diagonalizable SCMs) —
     extension beyond the reference repo (Sekiguchi et al., IEEE/ACM TASLP
@@ -821,8 +826,10 @@ def fastmnmf2(
     [, (Q, g, W, H) of the full model if ``return_filters``]. Init matches
     the oracle: whitened (or identity) Q, diag-dominant g, one
     ``default_rng(seed).random`` draw each for the NMF basis/activations.
-    ``n_noise`` extra slots ("auto": one when n_src < n_chan) absorb the
-    noise floor; the n_src highest-energy images are returned.
+    ``n_noise`` extra slots ("auto": fill to n_chan total — fewer slots
+    than channels routinely lands in non-separating optima, oracle
+    docstring has the data) absorb the noise floor and the unmodeled
+    channels; the n_src highest-energy images are returned.
     """
     from .models.fastmnmf2 import fastmnmf2_iterations
 
@@ -833,8 +840,10 @@ def fastmnmf2(
         raise ValueError("need n_src >= 1")
     if init not in ("whiten", "eye"):
         raise ValueError(f"init must be 'whiten' or 'eye', got {init!r}")
+    if str(wcov) not in ("f32", "bf16"):
+        raise ValueError(f"wcov must be 'f32' or 'bf16', got {wcov!r}")
     if n_noise == "auto":
-        n_noise = 1 if N_out < M else 0
+        n_noise = M - N_out if N_out < M else 0
     N = N_out + int(n_noise)
     cdtype = np.dtype(dtype or DEFAULT_DTYPE)
     rdtype = real_dtype_of(cdtype)
@@ -857,13 +866,13 @@ def fastmnmf2(
 
     state = (Q, gd, Wd, Hd)
     if callback is None:
-        state = fastmnmf2_iterations(Xd, *state, int(n_iter))
+        state = fastmnmf2_iterations(Xd, *state, int(n_iter), wcov=str(wcov))
     else:
         done = 0
         while done < n_iter:
             callback(snapshot(state))
             step = min(callback_every, n_iter - done)
-            state = fastmnmf2_iterations(Xd, *state, step)
+            state = fastmnmf2_iterations(Xd, *state, step, wcov=str(wcov))
             done += step
 
     Y = snapshot(state)
@@ -1094,7 +1103,7 @@ def fastmnmf2_batch(
     if init not in ("whiten", "eye"):
         raise ValueError(f"init must be 'whiten' or 'eye', got {init!r}")
     if n_noise == "auto":
-        n_noise = 1 if N_out < M else 0
+        n_noise = M - N_out if N_out < M else 0
     N = N_out + int(n_noise)
     cdtype = np.dtype(dtype or DEFAULT_DTYPE)
     rdtype = real_dtype_of(cdtype)

@@ -61,7 +61,7 @@ def _denom(lam, g):
     )
 
 
-def _epoch(X, Q, g, W, H, axis_name=None, bin_mask=None):
+def _epoch(X, Q, g, W, H, axis_name=None, bin_mask=None, wcov: str = "f32"):
     """One epoch. When bins are sharded over ``axis_name``, the only
     collectives are psums of the frequency-reduced NMF/spatial statistics
     (H and g numerators/denominators, the W normalizer) — everything else
@@ -117,7 +117,7 @@ def _epoch(X, Q, g, W, H, axis_name=None, bin_mask=None):
     Qp = to_fminor(Q)  # (M, M, F)
     e = jnp.eye(M, dtype=X.dtype)
     for m in range(M):  # static unroll — rows are order-dependent via Q
-        V = weighted_covariance_tf(X, 1.0 / D[:, :, m])  # (F, M, M)
+        V = weighted_covariance_tf(X, 1.0 / D[:, :, m], wcov)  # (F, M, M)
         Vp = to_fminor(V)
         QV = matmul_fm(Qp, Vp)
         rhs = jnp.broadcast_to(e[:, m, None, None], (M, 1, F))
@@ -143,9 +143,10 @@ def _epoch(X, Q, g, W, H, axis_name=None, bin_mask=None):
     return Q, g, W, H
 
 
-@partial(jax.jit, static_argnames=("n_iter", "axis_name"))
+@partial(jax.jit, static_argnames=("n_iter", "axis_name", "wcov"))
 def fastmnmf2_iterations(
-    X, Q, g, W, H, n_iter: int, axis_name=None, bin_mask=None
+    X, Q, g, W, H, n_iter: int, axis_name=None, bin_mask=None,
+    wcov: str = "f32",
 ):
     """Run ``n_iter`` fused epochs. X: (T,F,M) complex; Q: (F,M,M);
     g: (N,M); W: (N,F,L); H: (N,L,T). ``axis_name``/``bin_mask``: bin
@@ -153,7 +154,8 @@ def fastmnmf2_iterations(
     return lax.fori_loop(
         0,
         n_iter,
-        lambda _, s: _epoch(X, *s, axis_name=axis_name, bin_mask=bin_mask),
+        lambda _, s: _epoch(X, *s, axis_name=axis_name, bin_mask=bin_mask,
+                            wcov=wcov),
         (Q, g, W, H),
         unroll=False,
     )

@@ -39,7 +39,8 @@ def _set_row(A, k, row):
     return jnp.concatenate([A[:k], row[None], A[k + 1 :]], axis=0)
 
 
-def _ilrma_epoch(X, state, axis_name=None, n_freq=None, bin_mask=None):
+def _ilrma_epoch(X, state, axis_name=None, n_freq=None, bin_mask=None,
+                 wcov: str = "f32"):
     """One ILRMA epoch. X: (T,F,M); state = (W (F,M,M), B (N,F,K), H (N,K,T))."""
     T, F, M = X.shape
     N = M
@@ -80,7 +81,7 @@ def _ilrma_epoch(X, state, axis_name=None, n_freq=None, bin_mask=None):
         R = jnp.matmul(Bk, Hk, precision=PRECISION) + _EPS
 
         # IP update with per-(t,f) weights: bin-local, bin-minor machinery
-        V = weighted_covariance_tf(X, (1.0 / R).T)
+        V = weighted_covariance_tf(X, (1.0 / R).T, wcov)
         Vp = to_fminor(V)  # (M, M, F)
         WV = matmul_fm(Wp, Vp)
         rhs = jnp.broadcast_to(e[:, k, None, None], (M, 1, F))
@@ -109,10 +110,13 @@ def _ilrma_epoch(X, state, axis_name=None, n_freq=None, bin_mask=None):
     return jnp.transpose(Wp, (2, 0, 1)), B, H
 
 
-@partial(jax.jit, static_argnames=("n_iter",))
-def ilrma_iterations(X, W, B, H, n_iter: int):
-    """X: (T,F,M); W: (F,M,M); B: (N,F,K) >= 0; H: (N,K,T) >= 0."""
+@partial(jax.jit, static_argnames=("n_iter", "wcov"))
+def ilrma_iterations(X, W, B, H, n_iter: int, wcov: str = "f32"):
+    """X: (T,F,M); W: (F,M,M); B: (N,F,K) >= 0; H: (N,K,T) >= 0.
+
+    ``wcov="bf16"``: MXU bfloat16 weighted covariance for the IP rows
+    (ops.covariance.weighted_covariance_tf)."""
     W, B, H = lax.fori_loop(
-        0, n_iter, lambda _, s: _ilrma_epoch(X, s), (W, B, H)
+        0, n_iter, lambda _, s: _ilrma_epoch(X, s, wcov=wcov), (W, B, H)
     )
     return W, B, H

@@ -84,12 +84,32 @@ def weighted_covariance_all(X, phi, wcov: str = "f32"):
     )
 
 
-def weighted_covariance_tf(X, w_tf):
-    """Per-(t,f) weighted covariance (ILRMA): V[f] = (1/T) sum_t w[t,f] x x^H.
+def weighted_covariance_tf(X, w_tf, wcov: str = "f32"):
+    """Per-(t,f) weighted covariance (ILRMA / FastMNMF2 Q rows):
+    V[f] = (1/T) sum_t w[t,f] x x^H. X: (T, F, M), w_tf: (T, F) -> (F, M, M).
 
-    X: (T, F, M), w_tf: (T, F) -> (F, M, M).
+    ``wcov="bf16"``: bfloat16 operands on the MXU with f32 accumulation,
+    same trade as :func:`weighted_covariance_all`.
     """
     T = X.shape[0]
+    if wcov == "bf16":
+        xr = X.real.astype(jnp.bfloat16)
+        xi = X.imag.astype(jnp.bfloat16)
+        w = w_tf[:, :, None].astype(jnp.bfloat16)
+        wr, wi = xr * w, xi * w
+
+        def mm(a, b):
+            return jnp.einsum(
+                "tfm,tfn->fmn",
+                a,
+                b,
+                precision=PRECISION,
+                preferred_element_type=jnp.float32,
+            )
+
+        Vre = mm(wr, xr) + mm(wi, xi)
+        Vim = mm(wi, xr) - mm(wr, xi)
+        return (Vre + 1j * Vim).astype(X.dtype) / T
     Xw = X * w_tf[:, :, None].astype(X.real.dtype)
     return jnp.einsum("tfm,tfn->fmn", Xw, jnp.conj(X), precision=PRECISION) / T
 

@@ -72,14 +72,14 @@ def fastmnmf2(
     Unlike the determined IVA family, n_src is free (sources are modeled,
     not extracted by inversion); n_src <= n_chan is the sensible regime.
 
-    ``n_noise`` extra model slots absorb the diffuse noise floor —
-    without one, the optimizer can merge the true sources into a single
-    slot to free capacity for the noise (measured: n_src=2 at M=3 with a
-    25 dB noise floor fails to separate on most random mixtures; with one
-    noise slot every tested mixture separates at 30-40 dB SIR). The
-    default "auto" adds one slot when n_src < n_chan. The ``n_src``
-    highest-energy images are returned (the noise image carries ~25 dB
-    less energy, so the selection is unambiguous).
+    ``n_noise`` extra model slots absorb the diffuse noise floor and
+    fill the diagonalized space. The default "auto" fills to n_chan total
+    slots (n_noise = n_chan - n_src): with fewer slots than channels the
+    optimizer has unmodeled diagonalized channels and routinely lands in
+    non-separating optima (measured at M=4, N=2: one noise slot fails on
+    2/3 random mixtures at ~1 dB SIR; M slots separate every tested
+    mixture at ~40 dB). The ``n_src`` highest-energy images are returned
+    (noise images carry ~25 dB less energy, so selection is unambiguous).
 
     ``init="whiten"`` starts Q at the per-bin whitening basis
     Lam^{-1/2} E^H of the input covariance (deterministic eigh phases, as
@@ -91,7 +91,7 @@ def fastmnmf2(
     if not 1 <= N:
         raise ValueError("need n_src >= 1")
     if n_noise == "auto":
-        n_noise = 1 if N < M else 0
+        n_noise = M - N if N < M else 0
     N_out, N = N, N + int(n_noise)
     L = int(n_components)
     rng = np.random.default_rng(seed)

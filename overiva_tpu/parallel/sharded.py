@@ -529,7 +529,7 @@ def sharded_fastmnmf2(
     B, T, F, M = X_batch.shape
     N_out = M if n_src is None else int(n_src)
     if n_noise == "auto":
-        n_noise = 1 if N_out < M else 0
+        n_noise = M - N_out if N_out < M else 0
     N = N_out + int(n_noise)
     n_mix = mesh.shape[AXIS_MIX]
     n_bins = mesh.shape[AXIS_BINS]
