@@ -107,6 +107,29 @@ def test_overdetermined_and_callback(mixture32):
     assert seen == [(X.shape[0], X.shape[1], 2)] * 2
 
 
+def test_wiener_images_sum_to_mixture(mixture32):
+    """sum_n gain_n = D/D = 1, so the full-model Wiener images must
+    reconstruct the reference-mic signal EXACTLY (linear identity, holds
+    at any parameter values — a sharp check of the separation filter)."""
+    _, _, X = mixture32
+    Y, (Q, g, W, H) = fastmnmf2(
+        X, n_src=3, n_iter=3, seed=2, n_noise=0, return_filters=True
+    )
+    np.testing.assert_allclose(Y.sum(axis=2), X[:, :, 0], rtol=1e-8, atol=1e-10)
+
+    import jax.numpy as jnp
+
+    from overiva_tpu.models.fastmnmf2 import fastmnmf2_wiener
+
+    Yj = np.asarray(
+        fastmnmf2_wiener(
+            jnp.asarray(X), jnp.asarray(Q), jnp.asarray(g), jnp.asarray(W),
+            jnp.asarray(H), 0,
+        )
+    )
+    np.testing.assert_allclose(Yj.sum(axis=2), X[:, :, 0], rtol=1e-6, atol=1e-8)
+
+
 def test_registry_entry(mixture32):
     _, _, X = mixture32
     assert applicable("fastmnmf2", 2, 3)
