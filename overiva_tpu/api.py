@@ -857,11 +857,12 @@ def fastmnmf2(
     H = (rng.random((N, n_components, T)) + 0.1).astype(rdtype)
 
     Xd = _to_device(X, cdtype)
+    Xd, x_scale = _unit_power_jit(Xd)  # see models.fastmnmf2.unit_power
     Q = _whiten_q(Xd) if init == "whiten" else _eye_like(Xd, M)
     gd, Wd, Hd = jnp.asarray(g.astype(rdtype)), jnp.asarray(W), jnp.asarray(H)
 
     def snapshot(state):
-        re, im = _fastmnmf2_snapshot(Xd, *state, int(mic_index), N_out)
+        re, im = _fastmnmf2_snapshot(Xd, *state, x_scale, int(mic_index), N_out)
         return merge_np(np.asarray(re), np.asarray(im))
 
     state = (Q, gd, Wd, Hd)
@@ -890,11 +891,18 @@ def _whiten_q(X):
     return whiten_q(X)
 
 
+@jax.jit
+def _unit_power_jit(X):
+    from .models.fastmnmf2 import unit_power
+
+    return unit_power(X)
+
+
 @partial(jax.jit, static_argnames=("mic_index", "n_out"))
-def _fastmnmf2_snapshot(X, Q, g, W, H, mic_index, n_out):
+def _fastmnmf2_snapshot(X, Q, g, W, H, x_scale, mic_index, n_out):
     from .models.fastmnmf2 import fastmnmf2_wiener
 
-    Y = fastmnmf2_wiener(X, Q, g, W, H, mic_index)
+    Y = fastmnmf2_wiener(X, Q, g, W, H, mic_index) * x_scale
     if n_out < Y.shape[2]:
         en = jnp.sum(jnp.abs(Y) ** 2, axis=(0, 1))
         pick = jnp.sort(jnp.argsort(-en)[:n_out])
@@ -1067,9 +1075,12 @@ def _fastmnmf2_batch_jit(X, g, W, H, n_iter, mic_index, init, n_out):
     M = X.shape[3]
 
     def one(Xb, Wb, Hb):
+        from .models.fastmnmf2 import unit_power
+
+        Xb, x_scale = unit_power(Xb)
         Q = _whiten_q(Xb) if init == "whiten" else _eye_like(Xb, M)
         Q, gq, Wq, Hq = fastmnmf2_iterations(Xb, Q, g, Wb, Hb, n_iter)
-        Y = fastmnmf2_wiener(Xb, Q, gq, Wq, Hq, mic_index)
+        Y = fastmnmf2_wiener(Xb, Q, gq, Wq, Hq, mic_index) * x_scale
         if n_out < Y.shape[2]:
             en = jnp.sum(jnp.abs(Y) ** 2, axis=(0, 1))
             pick = jnp.sort(jnp.argsort(-en)[:n_out])

@@ -31,9 +31,29 @@ from ..ops.fminor import (
 )
 from ..ops.linalg import PRECISION
 
-__all__ = ["fastmnmf2_iterations", "fastmnmf2_wiener", "whiten_q"]
+__all__ = [
+    "fastmnmf2_iterations",
+    "fastmnmf2_wiener",
+    "unit_power",
+    "whiten_q",
+]
 
 _EPS = 1e-10
+_G_FLOOR = 1e-4  # spatial-weight floor; see the oracle's derivation note
+
+
+def unit_power(X):
+    """(X / s, s) with s = sqrt(mean |X|^2): unit-mean-power input scale.
+
+    The lam/D floors are absolute (1e-10), so with arbitrary input scale
+    the floored y/D^2 terms can overflow float32 and the per-epoch Q<->W
+    scale exchange ratchets to NaN (oracle docstring has the diagnosis).
+    All entry points normalize with this helper and rescale the Wiener
+    images back — exact by linearity.
+    """
+    s = jnp.sqrt(jnp.mean(jnp.abs(X) ** 2))
+    s = jnp.where(s > 0, s, 1.0).astype(X.real.dtype)
+    return X / s, s
 
 
 def whiten_q(X):
@@ -109,7 +129,7 @@ def _epoch(X, Q, g, W, H, axis_name=None, bin_mask=None, wcov: str = "f32"):
     den = allsum(
         jnp.einsum("nft,tfm->nm", fmask(lam), 1.0 / D, precision=PRECISION)
     )
-    g = jnp.maximum(g * jnp.sqrt(num / jnp.maximum(den, _EPS)), _EPS)
+    g = jnp.maximum(g * jnp.sqrt(num / jnp.maximum(den, _EPS)), _G_FLOOR)
 
     # ---- diagonalizer rows: sequential IP with weights 1/D (D fixed) ----
     lam = _psd(W, H)

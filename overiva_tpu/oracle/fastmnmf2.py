@@ -32,6 +32,16 @@ import numpy as np
 __all__ = ["fastmnmf2", "fastmnmf2_loglik"]
 
 _EPS = 1e-10
+# Floor on the spatial weights g (rows sum to 1 over M entries, so 1e-4 is
+# ~40 dB below uniform): without it, long runs sharpen g toward one-hot
+# rows, the diagonalized-domain weights 1/D span an unbounded dynamic
+# range, and the Q-row IP solves blow up -- NaN in complex64 AND float64
+# on a WASPAA M=8 instance at ~100 epochs. With the floor, c64 == c128 to
+# 0.05 dB at 100 epochs on that instance (and 30-epoch quality improves
+# slightly). Strict MM monotonicity holds while the floor is inactive;
+# when it binds it is a stability projection, same spirit as the IVA
+# family's relative activation floor (PARITY.md row 13).
+_G_FLOOR = 1e-4
 
 
 def _loglik(y, D, Q):
@@ -44,7 +54,14 @@ def _loglik(y, D, Q):
 
 
 def fastmnmf2_loglik(X, Q, g, W, H):
-    """Public likelihood helper (tests): parameters as in :func:`fastmnmf2`."""
+    """Public likelihood helper (tests): parameters as in :func:`fastmnmf2`.
+
+    Applies the same unit-mean-power input normalization as the optimizer
+    (``return_filters`` parameters fit the normalized input), so this is
+    the exact objective the MM updates are monotone on.
+    """
+    X = np.asarray(X)
+    X = X / (float(np.sqrt(np.mean(np.abs(X) ** 2))) or 1.0)
     Qx = np.einsum("fmn,tfn->tfm", Q, X)
     y = np.abs(Qx) ** 2
     lam = np.maximum(np.einsum("nfl,nlt->nft", W, H), _EPS)
@@ -96,6 +113,15 @@ def fastmnmf2(
     L = int(n_components)
     rng = np.random.default_rng(seed)
 
+    # Normalize to unit mean power: the 1e-10 floors on lam/D are absolute,
+    # so with arbitrary input scale the floored y/D^2 terms can overflow
+    # float32 and the per-epoch Q<->W scale exchange ratchets (diagnosed on
+    # a WASPAA M=8 instance: |Qx|^2 overflow -> NaN after ~60 epochs in
+    # c64 while f64 converged). Unit input scale makes the floors
+    # effectively relative; outputs are rescaled back (exact linearity).
+    x_scale = float(np.sqrt(np.mean(np.abs(X) ** 2))) or 1.0
+    X = X / x_scale
+
     if init == "whiten":
         from .models import align_eigvec_phase
 
@@ -136,7 +162,7 @@ def fastmnmf2(
         if N_out < N:
             en = np.sum(np.abs(Yall) ** 2, axis=(0, 1))
             Yall = Yall[:, :, np.sort(np.argsort(en)[::-1][:N_out])]
-        return Yall
+        return Yall * x_scale  # undo the unit-power input normalization
 
     Qx, y = model(Q)
     for epoch in range(n_iter):
@@ -166,7 +192,7 @@ def fastmnmf2(
         D = denom(lam)
         num = np.einsum("nft,tfm->nm", lam, y / D**2)
         den = np.einsum("nft,tfm->nm", lam, 1.0 / D)
-        g = np.maximum(g * np.sqrt(num / np.maximum(den, _EPS)), _EPS)
+        g = np.maximum(g * np.sqrt(num / np.maximum(den, _EPS)), _G_FLOOR)
 
         # ---- diagonalizer Q: IP row updates with weights 1/D ----
         lam = psd()
@@ -199,7 +225,7 @@ def fastmnmf2(
 
     Y = outputs(Qx, Q, g)
     if return_filters:
-        return Y, (Q, g, W, H)
+        return Y, (Q, g, W, H)  # parameters fit the unit-power-scaled input
     return Y
 
 

@@ -535,6 +535,13 @@ def sharded_fastmnmf2(
     n_bins = mesh.shape[AXIS_BINS]
     if B % n_mix != 0:
         raise ValueError(f"batch {B} not divisible by mix axis {n_mix}")
+    # per-mixture unit-power normalization (models.fastmnmf2.unit_power),
+    # done on the full unpadded tensor so it matches the single-device path
+    x_scale = jnp.sqrt(
+        jnp.mean(jnp.abs(X_batch) ** 2, axis=(1, 2, 3), keepdims=True)
+    )
+    x_scale = jnp.where(x_scale > 0, x_scale, 1.0).astype(X_batch.real.dtype)
+    X_batch = X_batch / x_scale
     F_pad, mask = pad_bins(F, n_bins)
     if F_pad != F:
         reps = jnp.repeat(X_batch[:, :, -1:, :], F_pad - F, axis=2)
@@ -559,4 +566,4 @@ def sharded_fastmnmf2(
         jnp.asarray(H0), jnp.asarray(mask), mesh, int(n_iter),
         int(mic_index), int(N_out),
     )
-    return Y[:, :, :F, :]
+    return Y[:, :, :F, :] * x_scale
