@@ -799,7 +799,7 @@ def _eye_like(X, m):
     return jnp.tile(jnp.eye(m, dtype=X.dtype), (X.shape[1], 1, 1))
 
 
-def fastmnmf2(
+def _fastmnmf_impl(
     X,
     n_src=None,
     n_iter=30,
@@ -813,12 +813,14 @@ def fastmnmf2(
     seed=0,
     dtype=None,
     wcov="f32",
+    tie_g=True,
 ):
-    """FastMNMF2 (full-rank spatial model, jointly-diagonalizable SCMs) —
+    """Shared FastMNMF1/2 driver (``tie_g`` selects the variant) —
     extension beyond the reference repo (Sekiguchi et al., IEEE/ACM TASLP
-    2020; oracle twin ``overiva_tpu.oracle.fastmnmf2`` carries the
-    derivation, the likelihood-monotonicity validation, and the init /
-    noise-slot design notes).
+    2020 for FastMNMF2 / EUSIPCO 2019 for FastMNMF1; oracle twin
+    ``overiva_tpu.oracle.fastmnmf2`` carries the derivation, the
+    likelihood-monotonicity validation, and the init / noise-slot design
+    notes).
 
     X: (n_frames, n_freq, n_chan) complex. Returns Y (n_frames, n_freq,
     n_src) — multichannel-Wiener source images at ``mic_index`` (already
@@ -853,6 +855,8 @@ def fastmnmf2(
     for n in range(N):
         g[n, n % M] = 1.0
     g /= g.sum(axis=1, keepdims=True)
+    if not tie_g:  # FastMNMF1: free per-frequency spatial weights
+        g = np.tile(g[:, None, :], (1, F, 1))
     W = (rng.random((N, F, n_components)) + 0.1).astype(rdtype)
     H = (rng.random((N, n_components, T)) + 0.1).astype(rdtype)
 
@@ -882,6 +886,28 @@ def fastmnmf2(
             np.asarray(s) for s in state[1:]
         )
     return Y
+
+
+def fastmnmf2(X, **kwargs):
+    """FastMNMF2: full-rank spatial model with jointly-diagonalizable
+    SCMs, spatial weights g (N, M) TIED across frequency (Sekiguchi et
+    al., IEEE/ACM TASLP 2020). See ``_fastmnmf_impl`` for parameters; the
+    oracle twin ``overiva_tpu.oracle.fastmnmf2`` carries the design
+    notes. Usually the better default of the two variants: the tying is
+    an implicit permutation alignment.
+    """
+    return _fastmnmf_impl(X, tie_g=True, **kwargs)
+
+
+def fastmnmf(X, **kwargs):
+    """FastMNMF1: as :func:`fastmnmf2` but with free per-frequency
+    spatial weights g (N, F, M) (Sekiguchi et al., EUSIPCO 2019). More
+    flexible, but loses the implicit permutation alignment of the tied
+    variant; completes the published family (pyroomacoustics ships both).
+    Its g update is per-frequency local — under bin sharding it needs no
+    collective.
+    """
+    return _fastmnmf_impl(X, tie_g=False, **kwargs)
 
 
 @jax.jit
@@ -1101,10 +1127,12 @@ def fastmnmf2_batch(
     n_noise="auto",
     seed=0,
     dtype=None,
+    tie_g=True,
 ):
     """Batch of same-shape mixtures through FastMNMF2 in ONE fused XLA
     program. X: (batch, T, F, M) -> (batch, T, F, n_src). Element b's NMF
-    init matches ``fastmnmf2(X[b], seed=seed + b)``.
+    init matches ``fastmnmf2(X[b], seed=seed + b)``. ``tie_g=False``
+    selects FastMNMF1 (see :func:`fastmnmf`).
     """
     X = np.asarray(X)
     B, T, F, M = X.shape
@@ -1123,6 +1151,8 @@ def fastmnmf2_batch(
     for n in range(N):
         g[n, n % M] = 1.0
     g /= g.sum(axis=1, keepdims=True)
+    if not tie_g:  # FastMNMF1: free per-frequency spatial weights
+        g = np.tile(g[:, None, :], (1, F, 1))
     W = np.empty((B, N, F, n_components), rdtype)
     H = np.empty((B, N, n_components, T), rdtype)
     for b in range(B):
@@ -1136,6 +1166,12 @@ def fastmnmf2_batch(
         int(n_iter), int(mic_index), init, N_out,
     )
     return merge_np(np.asarray(re), np.asarray(im))
+
+
+def fastmnmf_batch(X, **kwargs):
+    """Batched FastMNMF1 (per-frequency spatial weights): see
+    :func:`fastmnmf2_batch` for parameters."""
+    return fastmnmf2_batch(X, tie_g=False, **kwargs)
 
 
 @partial(

@@ -1,8 +1,12 @@
-"""FastMNMF2 — fused JAX iteration (trace-side).
+"""FastMNMF1/2 — fused JAX iteration (trace-side).
 
-TPU-native twin of ``overiva_tpu.oracle.fastmnmf2`` (Sekiguchi et al. 2020,
+TPU-native twin of ``overiva_tpu.oracle.fastmnmf2`` (Sekiguchi et al.,
 jointly-diagonalizable full-rank spatial model; extension beyond the
-reference repo — SURVEY.md §2.1 tops out at ILRMA). One XLA program runs
+reference repo — SURVEY.md §2.1 tops out at ILRMA). The spatial-weight
+shape selects the variant everywhere: g (N, M) is FastMNMF2 (tied across
+frequency, TASLP 2020), g (N, F, M) is FastMNMF1 (free per-frequency,
+EUSIPCO 2019) — same epoch structure, different g einsum index and
+reduction axes. One XLA program runs
 ``lax.fori_loop`` over epochs; each epoch is IS-NMF multiplicative updates
 (pure elementwise/einsum — VPU/MXU friendly), a multiplicative update of
 the spatial weights g, and M sequential iterative-projection rows of the
@@ -75,9 +79,14 @@ def _psd(W, H):
     )
 
 
+def _g_sub(g):
+    """einsum index of the spatial weights: (N,M) tied / (N,F,M) untied."""
+    return "nm" if g.ndim == 2 else "nfm"
+
+
 def _denom(lam, g):
     return jnp.maximum(
-        jnp.einsum("nft,nm->tfm", lam, g, precision=PRECISION), _EPS
+        jnp.einsum(f"nft,{_g_sub(g)}->tfm", lam, g, precision=PRECISION), _EPS
     )
 
 
@@ -102,10 +111,12 @@ def _epoch(X, Q, g, W, H, axis_name=None, bin_mask=None, wcov: str = "f32"):
     Qx = jnp.einsum("fmn,tfn->tfm", Q, X, precision=PRECISION)
     y = jnp.abs(Qx) ** 2  # (T, F, M) real
 
+    gs = _g_sub(g)
+
     def weights(lam):
         D = _denom(lam, g)
-        S1 = jnp.einsum("tfm,nm->nft", y / D**2, g, precision=PRECISION)
-        S2 = jnp.einsum("tfm,nm->nft", 1.0 / D, g, precision=PRECISION)
+        S1 = jnp.einsum(f"tfm,{gs}->nft", y / D**2, g, precision=PRECISION)
+        S2 = jnp.einsum(f"tfm,{gs}->nft", 1.0 / D, g, precision=PRECISION)
         return D, S1, S2
 
     # ---- NMF basis W (per-frequency: local, no collectives) ----
@@ -120,15 +131,20 @@ def _epoch(X, Q, g, W, H, axis_name=None, bin_mask=None, wcov: str = "f32"):
     den = allsum(jnp.einsum("nft,nfl->nlt", fmask(S2), W, precision=PRECISION))
     H = jnp.maximum(H * jnp.sqrt(num / jnp.maximum(den, _EPS)), _EPS)
 
-    # ---- spatial weights g (sums over all bins and frames: one psum pair) ----
+    # ---- spatial weights g: tied sums over all bins and frames (one psum
+    # pair); untied (FastMNMF1) is per-frequency — local, no collectives ----
     lam = _psd(W, H)
     D = _denom(lam, g)
-    num = allsum(
-        jnp.einsum("nft,tfm->nm", fmask(lam), y / D**2, precision=PRECISION)
-    )
-    den = allsum(
-        jnp.einsum("nft,tfm->nm", fmask(lam), 1.0 / D, precision=PRECISION)
-    )
+    if g.ndim == 2:
+        num = allsum(
+            jnp.einsum("nft,tfm->nm", fmask(lam), y / D**2, precision=PRECISION)
+        )
+        den = allsum(
+            jnp.einsum("nft,tfm->nm", fmask(lam), 1.0 / D, precision=PRECISION)
+        )
+    else:
+        num = jnp.einsum("nft,tfm->nfm", lam, y / D**2, precision=PRECISION)
+        den = jnp.einsum("nft,tfm->nfm", lam, 1.0 / D, precision=PRECISION)
     g = jnp.maximum(g * jnp.sqrt(num / jnp.maximum(den, _EPS)), _G_FLOOR)
 
     # ---- diagonalizer rows: sequential IP with weights 1/D (D fixed) ----
@@ -152,9 +168,9 @@ def _epoch(X, Q, g, W, H, axis_name=None, bin_mask=None, wcov: str = "f32"):
     phi = jnp.real(jnp.einsum("fmn,fmn->f", Q, jnp.conj(Q))) / M
     Q = Q / jnp.sqrt(phi)[:, None, None].astype(Q.real.dtype)
     W = W / phi[None, :, None]
-    mu = jnp.sum(g, axis=1, keepdims=True)
+    mu = jnp.sum(g, axis=-1, keepdims=True)  # (N,1) tied / (N,F,1) untied
     g = g / mu
-    W = W * mu[:, :, None]
+    W = W * (mu if g.ndim == 3 else mu[:, :, None])
     nu = jnp.maximum(
         allsum(jnp.sum(fmask(W), axis=1, keepdims=True)), _EPS
     )  # (N, 1, L)
@@ -196,10 +212,11 @@ def fastmnmf2_wiener(X, Q, g, W, H, mic_index: int = 0):
     Qt = to_fminor(jnp.swapaxes(Q, 1, 2))
     r = gauss_solve_fm(Qt, jnp.broadcast_to(e[:, None, None], (M, 1, F)))
     r = jnp.swapaxes(r[:, 0, :], 0, 1)  # (F, M)
-    # gain[n][t,f,m] = lam[n,f,t] g[n,m] / D[t,f,m]
+    # gain[n][t,f,m] = lam[n,f,t] g[n,(f,)m] / D[t,f,m]
+    gb = g[:, None, None, :] if g.ndim == 2 else g[:, None, :, :]
     gain = (
         jnp.transpose(lam, (0, 2, 1))[:, :, :, None]  # (N, T, F, 1)
-        * g[:, None, None, :]  # (N, 1, 1, M)
+        * gb  # (N, 1, 1, M) tied / (N, 1, F, M) untied
         / D[None]  # (1, T, F, M)
     )
     return jnp.einsum(

@@ -1,15 +1,26 @@
-"""NumPy oracle FastMNMF2 (full-rank spatial model, jointly diagonalized).
+"""NumPy oracle FastMNMF1/2 (full-rank spatial model, jointly diagonalized).
 
 Extension beyond the reference repo (which tops out at ILRMA's rank-1
-spatial model — SURVEY.md §2.1): FastMNMF2 models each source with a
-FULL-RANK spatial covariance G_kf = Q_f^{-1} diag(g_k) Q_f^{-H} whose
-diagonalizer Q_f is shared by all sources and whose per-source diagonal
-g_k is shared across frequency. Algorithm:
+spatial model — SURVEY.md §2.1): FastMNMF models each source with a
+FULL-RANK spatial covariance G_kf = Q_f^{-1} diag(g_kf) Q_f^{-H} whose
+diagonalizer Q_f is shared by all sources. Two published variants differ
+only in the tying of the diagonal spatial weights:
+
+- **FastMNMF1** (``fastmnmf``): g_kf ∈ R^M is free per frequency
+  (K. Sekiguchi, A. A. Nugraha, Y. Bando, K. Yoshii, "Fast multichannel
+  source separation based on jointly diagonalizable spatial covariance
+  matrices", EUSIPCO 2019).
+- **FastMNMF2** (``fastmnmf2``): g_k shared across frequency — fewer
+  parameters, inherently permutation-aligned, usually equal or better:
 
     K. Sekiguchi, Y. Bando, A. A. Nugraha, K. Yoshii, T. Kawahara,
     "Fast multichannel nonnegative matrix factorization with
     directivity-aware jointly-diagonalizable spatial covariance matrices
     for blind source separation", IEEE/ACM TASLP 28, 2020 (FastMNMF2).
+
+Both share one core here (``tie_g`` switch): every update below is
+identical except the einsum index ``nm``/``nfm`` on g and which axes the
+g statistics are reduced over.
 
 Per epoch: IS-NMF multiplicative updates of the rank-L source PSDs
 (lam[k,f,t] = sum_l W[k,f,l] H[k,l,t]), a multiplicative update of g, and
@@ -29,7 +40,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["fastmnmf2", "fastmnmf2_loglik"]
+__all__ = ["fastmnmf", "fastmnmf2", "fastmnmf2_loglik"]
 
 _EPS = 1e-10
 # Floor on the spatial weights g (rows sum to 1 over M entries, so 1e-4 is
@@ -42,6 +53,12 @@ _EPS = 1e-10
 # when it binds it is a stability projection, same spirit as the IVA
 # family's relative activation floor (PARITY.md row 13).
 _G_FLOOR = 1e-4
+
+
+def _denom_g(lam, g):
+    """D[t,f,m] = sum_n lam[n,f,t] g[n,(f,)m] — tied (N,M) or untied (N,F,M)."""
+    sub = "nft,nm->tfm" if g.ndim == 2 else "nft,nfm->tfm"
+    return np.maximum(np.einsum(sub, lam, g), _EPS)
 
 
 def _loglik(y, D, Q):
@@ -65,11 +82,10 @@ def fastmnmf2_loglik(X, Q, g, W, H):
     Qx = np.einsum("fmn,tfn->tfm", Q, X)
     y = np.abs(Qx) ** 2
     lam = np.maximum(np.einsum("nfl,nlt->nft", W, H), _EPS)
-    D = np.maximum(np.einsum("nft,nm->tfm", lam, g), _EPS)
-    return _loglik(y, D, Q)
+    return _loglik(y, _denom_g(lam, g), Q)
 
 
-def fastmnmf2(
+def _fastmnmf_core(
     X: np.ndarray,
     n_src: int | None = None,
     n_iter: int = 30,
@@ -81,10 +97,14 @@ def fastmnmf2(
     return_filters: bool = False,
     callback=None,
     callback_every: int = 10,
+    tie_g: bool = True,
 ):
     """X: (n_frames, n_freq, n_chan) complex. Returns Y (n_frames, n_freq,
     n_src) source images at ``mic_index`` [, (Q, g, W, H) of the FULL
     model incl. noise slots if ``return_filters``].
+
+    ``tie_g=True`` is FastMNMF2 (g shared across frequency, shape (N, M));
+    ``tie_g=False`` is FastMNMF1 (free per-frequency g, shape (N, F, M)).
 
     Unlike the determined IVA family, n_src is free (sources are modeled,
     not extracted by inversion); n_src <= n_chan is the sensible regime.
@@ -140,6 +160,8 @@ def fastmnmf2(
     for n in range(N):
         g[n, n % M] = 1.0
     g /= g.sum(axis=1, keepdims=True)
+    if not tie_g:  # FastMNMF1: free per-frequency spatial weights
+        g = np.tile(g[:, None, :], (1, F, 1))  # (N, F, M)
     W = rng.random((N, F, L)) + 0.1  # PSD basis
     H = rng.random((N, L, T)) + 0.1  # PSD activations
 
@@ -150,12 +172,14 @@ def fastmnmf2(
         y = np.abs(Qx) ** 2  # (T, F, M)
         return Qx, y
 
+    g_sub = "nm" if tie_g else "nfm"
+
     def psd():
         lam = np.maximum(np.einsum("nfl,nlt->nft", W, H), _EPS)  # (N, F, T)
         return lam
 
     def denom(lam):
-        return np.maximum(np.einsum("nft,nm->tfm", lam, g), _EPS)  # (T,F,M)
+        return _denom_g(lam, g)  # (T, F, M)
 
     def outputs(Qx, Q, g):
         Yall = _wiener(Qx, Q, g, psd(), mic_index)
@@ -172,8 +196,8 @@ def fastmnmf2(
         # ---- NMF basis W ----
         lam = psd()
         D = denom(lam)
-        S1 = np.einsum("tfm,nm->nft", y / D**2, g)  # sum_m g y / D^2
-        S2 = np.einsum("tfm,nm->nft", 1.0 / D, g)  # sum_m g / D
+        S1 = np.einsum(f"tfm,{g_sub}->nft", y / D**2, g)  # sum_m g y / D^2
+        S2 = np.einsum(f"tfm,{g_sub}->nft", 1.0 / D, g)  # sum_m g / D
         num = np.einsum("nft,nlt->nfl", S1, H)
         den = np.einsum("nft,nlt->nfl", S2, H)
         W = np.maximum(W * np.sqrt(num / np.maximum(den, _EPS)), _EPS)
@@ -181,17 +205,17 @@ def fastmnmf2(
         # ---- NMF activations H ----
         lam = psd()
         D = denom(lam)
-        S1 = np.einsum("tfm,nm->nft", y / D**2, g)
-        S2 = np.einsum("tfm,nm->nft", 1.0 / D, g)
+        S1 = np.einsum(f"tfm,{g_sub}->nft", y / D**2, g)
+        S2 = np.einsum(f"tfm,{g_sub}->nft", 1.0 / D, g)
         num = np.einsum("nft,nfl->nlt", S1, W)
         den = np.einsum("nft,nfl->nlt", S2, W)
         H = np.maximum(H * np.sqrt(num / np.maximum(den, _EPS)), _EPS)
 
-        # ---- spatial weights g ----
+        # ---- spatial weights g (FastMNMF1: per-frequency, no f-reduce) ----
         lam = psd()
         D = denom(lam)
-        num = np.einsum("nft,tfm->nm", lam, y / D**2)
-        den = np.einsum("nft,tfm->nm", lam, 1.0 / D)
+        num = np.einsum(f"nft,tfm->{g_sub}", lam, y / D**2)
+        den = np.einsum(f"nft,tfm->{g_sub}", lam, 1.0 / D)
         g = np.maximum(g * np.sqrt(num / np.maximum(den, _EPS)), _G_FLOOR)
 
         # ---- diagonalizer Q: IP row updates with weights 1/D ----
@@ -216,9 +240,9 @@ def fastmnmf2(
         W /= phi[None, :, None]
         y /= phi[None, :, None]
         Qx /= np.sqrt(phi)[None, :, None]
-        mu = g.sum(axis=1, keepdims=True)  # (N, 1)
+        mu = g.sum(axis=-1, keepdims=True)  # (N, 1) tied / (N, F, 1) untied
         g /= mu
-        W *= mu[:, :, None]  # (N, 1, 1) broadcast over (N, F, L)
+        W *= mu if g.ndim == 3 else mu[:, :, None]  # broadcast over (N, F, L)
         nu = W.sum(axis=1, keepdims=True)  # (N, 1, L)
         W /= np.maximum(nu, _EPS)
         H *= np.maximum(nu, _EPS).transpose(0, 2, 1)
@@ -229,6 +253,27 @@ def fastmnmf2(
     return Y
 
 
+def fastmnmf2(X, **kwargs):
+    """FastMNMF2 (Sekiguchi et al. 2020): g shared across frequency.
+
+    See :func:`_fastmnmf_core` for parameters; returned g is (N, M).
+    """
+    return _fastmnmf_core(X, tie_g=True, **kwargs)
+
+
+def fastmnmf(X, **kwargs):
+    """FastMNMF1 (Sekiguchi et al., EUSIPCO 2019): per-frequency g.
+
+    See :func:`_fastmnmf_core` for parameters; returned g is (N, F, M).
+    More flexible than FastMNMF2 but the extra per-frequency freedom
+    loses the implicit permutation alignment that tying provides —
+    FastMNMF2 is the usually-better default; this variant completes the
+    published family (pyroomacoustics ships both as ``fastmnmf`` /
+    ``fastmnmf2``).
+    """
+    return _fastmnmf_core(X, tie_g=False, **kwargs)
+
+
 def _wiener(Qx, Q, g, lam, mic_index: int):
     """Multichannel Wiener estimate of each source image at one mic.
 
@@ -237,10 +282,11 @@ def _wiener(Qx, Q, g, lam, mic_index: int):
     """
     T, F, M = Qx.shape
     N = lam.shape[0]
-    D = np.maximum(np.einsum("nft,nm->tfm", lam, g), _EPS)
+    D = _denom_g(lam, g)
     Qinv_row = np.linalg.inv(Q)[:, mic_index, :]  # (F, M)
     out = np.empty((T, F, N), dtype=Qx.dtype)
     for n in range(N):
-        gain = lam[n].T[:, :, None] * g[n][None, None, :] / D  # (T, F, M)
+        gn = g[n][None, None, :] if g.ndim == 2 else g[n][None, :, :]
+        gain = lam[n].T[:, :, None] * gn / D  # (T, F, M)
         out[:, :, n] = np.einsum("fm,tfm->tf", Qinv_row, gain * Qx)
     return out

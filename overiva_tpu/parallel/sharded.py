@@ -464,14 +464,20 @@ def sharded_overiva(
     return Y[:, :, :F, :]
 
 def _fastmnmf2_one(X, g0, W0, H0, bin_mask, n_iter, mic_index, n_out):
-    """Per-shard, per-mixture FastMNMF2 on the local bin slice.
+    """Per-shard, per-mixture FastMNMF1/2 on the local bin slice.
 
     Per-bin work (W/Q updates, whitening init, Wiener) is local; the
     frequency-reduced NMF/spatial statistics psum over AXIS_BINS inside
-    the epoch (models/fastmnmf2._epoch). Output-slot selection uses the
-    GLOBAL image energies so every shard picks the same sources."""
+    the epoch (models/fastmnmf2._epoch). FastMNMF1's untied g (N, F, M)
+    arrives bin-sharded and its update is per-frequency — fully local, so
+    the untied variant actually needs ONE FEWER psum pair per epoch.
+    Output-slot selection uses the GLOBAL image energies so every shard
+    picks the same sources."""
     Q = _fmnmf.whiten_q(X)
-    g0 = jax.lax.pcast(g0, (AXIS_MIX, AXIS_BINS), to="varying")
+    # tied g is replicated (constant over both axes) and must be marked
+    # varying; untied g is already bin-sharded (varying over AXIS_BINS)
+    pcast_axes = (AXIS_MIX, AXIS_BINS) if g0.ndim == 2 else (AXIS_MIX,)
+    g0 = jax.lax.pcast(g0, pcast_axes, to="varying")
     Q, g, W, H = _fmnmf.fastmnmf2_iterations(
         X, Q, g0, W0, H0, n_iter, axis_name=AXIS_BINS, bin_mask=bin_mask
     )
@@ -490,12 +496,14 @@ def _fastmnmf2_one(X, g0, W0, H0, bin_mask, n_iter, mic_index, n_out):
 )
 def _sharded_fastmnmf2_padded(X, g0, W0, H0, bin_mask, mesh, n_iter,
                               mic_index, n_out):
+    g_spec = P(None, None) if g0.ndim == 2 else P(None, AXIS_BINS, None)
+
     @partial(
         shard_map,
         mesh=mesh,
         in_specs=(
             P(AXIS_MIX, None, AXIS_BINS, None),
-            P(None, None),
+            g_spec,
             P(AXIS_MIX, None, AXIS_BINS, None),
             P(AXIS_MIX, None, None, None),
             P(AXIS_BINS),
@@ -520,12 +528,15 @@ def sharded_fastmnmf2(
     mic_index: int = 0,
     n_noise="auto",
     seed: int = 0,
+    tie_g: bool = True,
 ):
-    """FastMNMF2 over the mesh. X_batch: (B, T, F, M) complex.
+    """FastMNMF2 (or FastMNMF1 with ``tie_g=False``) over the mesh.
+    X_batch: (B, T, F, M) complex.
 
     NMF init matches ``api.fastmnmf2(seed=seed + b)`` per batch element
     (padded bins replicate the last real bin's basis rows; their
-    contributions are masked out of the psum'd statistics)."""
+    contributions are masked out of the psum'd statistics). FastMNMF1's
+    per-frequency g is sharded over the bins axis and updates locally."""
     B, T, F, M = X_batch.shape
     N_out = M if n_src is None else int(n_src)
     if n_noise == "auto":
@@ -552,6 +563,8 @@ def sharded_fastmnmf2(
     for n in range(N):
         g0[n, n % M] = 1.0
     g0 /= g0.sum(axis=1, keepdims=True)
+    if not tie_g:  # FastMNMF1: per-frequency g, sharded over bins
+        g0 = np.tile(g0[:, None, :], (1, F_pad, 1))
     W0 = np.empty((B, N, F_pad, n_components), rdtype)
     H0 = np.empty((B, N, n_components, T), rdtype)
     for b in range(B):

@@ -79,6 +79,8 @@ ALGORITHMS: dict[str, AlgorithmSpec] = {
                       defaults={"n_iter": 20, "inner": "iss"}),
         AlgorithmSpec("ilrma", api.ilrma, determined=True,
                       defaults={"n_iter": 30, "n_components": 2}),
+        AlgorithmSpec("fastmnmf", api.fastmnmf,
+                      defaults={"n_iter": 30, "n_components": 2}),
         AlgorithmSpec("fastmnmf2", api.fastmnmf2,
                       defaults={"n_iter": 30, "n_components": 2}),
         AlgorithmSpec("five", api.five, single_output=True,

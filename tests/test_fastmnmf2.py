@@ -14,7 +14,7 @@ import pytest
 from overiva_tpu import api
 from overiva_tpu.metrics import BssEvalReferences
 from overiva_tpu.oracle import synthesis
-from overiva_tpu.oracle.fastmnmf2 import fastmnmf2, fastmnmf2_loglik
+from overiva_tpu.oracle.fastmnmf2 import fastmnmf, fastmnmf2, fastmnmf2_loglik
 from overiva_tpu.registry import applicable, get_algorithm
 
 from helpers import make_mixture, stft_mixture
@@ -130,11 +130,60 @@ def test_wiener_images_sum_to_mixture(mixture32):
     np.testing.assert_allclose(Yj.sum(axis=2), X[:, :, 0], rtol=1e-6, atol=1e-8)
 
 
+def test_fastmnmf1_loglik_monotone_and_above_tied(mixture32):
+    """FastMNMF1 (untied per-frequency g): every epoch is still an MM step
+    on the exact likelihood, and the extra spatial freedom can only raise
+    the attained likelihood relative to the tied model at the same epoch
+    count (both start from the same tied init)."""
+    _, _, X = mixture32
+    lls, lls2 = [], []
+    for it in range(6):
+        _, p1 = fastmnmf(X, n_src=2, n_iter=it, seed=5, return_filters=True)
+        _, p2 = fastmnmf2(X, n_src=2, n_iter=it, seed=5, return_filters=True)
+        lls.append(fastmnmf2_loglik(X, *p1))
+        lls2.append(fastmnmf2_loglik(X, *p2))
+    diffs = np.diff(lls)
+    assert np.all(diffs >= -1e-6 * np.abs(np.asarray(lls[:-1]))), lls
+    assert p1[1].shape == (3, X.shape[1], X.shape[2])  # untied g (N, F, M)
+    assert np.all(np.asarray(lls[1:]) >= np.asarray(lls2[1:]) - 1e-6), (
+        lls, lls2)
+
+
+def test_fastmnmf1_jax_matches_oracle(mixture32):
+    """Same init, 12 epochs: SDR/SIR parity within the 0.1 dB gate."""
+    mix, premix, X = mixture32
+    ev = BssEvalReferences(premix[:, :, 0])
+
+    def score(Y):
+        y = synthesis(np.asarray(Y, dtype=np.complex128), 512, 256)
+        y = y[256:][: mix.shape[0]]
+        sdr, sir, _, _ = ev.evaluate(y.T)
+        return sdr, sir
+
+    sdr_o, sir_o = score(fastmnmf(X, n_src=2, n_iter=12, seed=5))
+    sdr_j, sir_j = score(api.fastmnmf(X, n_src=2, n_iter=12, seed=5))
+    assert np.abs(sdr_j - sdr_o).max() < 0.1, (sdr_o, sdr_j)
+    assert np.abs(sir_j - sir_o).max() < 0.1, (sir_o, sir_j)
+    assert sir_j.mean() > 12
+
+
+def test_fastmnmf1_batch_matches_single(mixture32):
+    _, _, X = mixture32
+    Xb = np.stack([X, 0.5 * X])
+    Yb = api.fastmnmf_batch(Xb, n_src=2, n_iter=4, seed=5)
+    Y0 = api.fastmnmf(X, n_src=2, n_iter=4, seed=5)
+    assert Yb.shape == (2,) + Y0.shape
+    np.testing.assert_allclose(Yb[0], Y0, rtol=2e-4, atol=2e-6)
+
+
 def test_registry_entry(mixture32):
     _, _, X = mixture32
     assert applicable("fastmnmf2", 2, 3)
     assert applicable("fastmnmf2", 3, 3)
+    assert applicable("fastmnmf", 2, 3)
     Y = get_algorithm("fastmnmf2")(X, n_src=2, n_iter=2)
+    assert Y.shape[2] == 2
+    Y = get_algorithm("fastmnmf")(X, n_src=2, n_iter=2)
     assert Y.shape[2] == 2
 
 

@@ -112,3 +112,22 @@ def test_sharded_fastmnmf2_matches_single_device(batch, mesh_shape):
             batch[b], n_src=2, n_iter=5, seed=7 + b, dtype=np.complex128
         )
         np.testing.assert_allclose(Y[b], Yref, rtol=1e-5, atol=1e-7)
+
+
+def test_sharded_fastmnmf1_matches_single_device(batch):
+    """Untied per-frequency g (FastMNMF1): g is bin-sharded and its update
+    is local — the sharded trajectory must still equal single-device."""
+    from overiva_tpu import api
+    from overiva_tpu.parallel.sharded import sharded_fastmnmf2
+
+    mesh = make_mesh(2, 4, devices=jax.devices()[:8])
+    Y = np.asarray(
+        sharded_fastmnmf2(
+            mesh, jnp.asarray(batch), n_src=2, n_iter=5, seed=7, tie_g=False
+        )
+    )
+    for b in range(batch.shape[0]):
+        Yref = api.fastmnmf(
+            batch[b], n_src=2, n_iter=5, seed=7 + b, dtype=np.complex128
+        )
+        np.testing.assert_allclose(Y[b], Yref, rtol=1e-5, atol=1e-7)
