@@ -157,6 +157,26 @@ def main():
     check_finite(Wr)
     extra["pca_iss_it_s"] = round(N_ITER / t_pca, 1)
 
+    # ---- FastMNMF2 (full-rank spatial model, M=8 slots, L=2) ----
+    from overiva_tpu.models.fastmnmf2 import (
+        fastmnmf2_iterations, unit_power, whiten_q,
+    )
+
+    Xu, _ = jax.jit(unit_power)(X)
+    Qw = jax.jit(whiten_q)(Xu)
+    rngf = np.random.default_rng(1)
+    g0 = np.full((M, M), 1e-2, np.float32)
+    g0[np.arange(M), np.arange(M)] = 1.0
+    g0 /= g0.sum(axis=1, keepdims=True)
+    Wn = (rngf.random((M, F, 2)) + 0.1).astype(np.float32)
+    Hn = (rngf.random((M, 2, 128)) + 0.1).astype(np.float32)
+    gd, Wd, Hd = jnp.asarray(g0), jnp.asarray(Wn), jnp.asarray(Hn)
+    t_fm, (Qf, _, _, _) = timed(
+        lambda: fastmnmf2_iterations(Xu, Qw, gd, Wd, Hd, N_ITER)
+    )
+    check_finite(Qf)
+    extra["fastmnmf2_it_s"] = round(N_ITER / t_fm, 1)
+
     print(
         json.dumps(
             {

@@ -799,6 +799,109 @@ def _eye_like(X, m):
     return jnp.tile(jnp.eye(m, dtype=X.dtype), (X.shape[1], 1, 1))
 
 
+def sparseauxiva(
+    X,
+    S=None,
+    n_src=None,
+    n_iter=20,
+    proj_back=True,
+    W0=None,
+    model="laplace",
+    lasso_iter=300,
+    lasso_lam=0.05,
+    filter_taps=None,
+    acausal_taps=None,
+    polish_iter=3,
+    return_filters=False,
+    callback=None,
+    callback_every=10,
+    dtype=None,
+    wcov="f32",
+):
+    """SparseAuxIVA: IP updates on a selected bin subset ``S`` + LASSO
+    reconstruction of the remaining bins (Jansky, Koldovsky, Ono, IWAENC
+    2016 lineage) — extension completing the ``pyroomacoustics.bss``
+    family surface. Oracle twin ``overiva_tpu.oracle.sparseauxiva``
+    carries the design decisions (stratified bin selection, mixing-side
+    RTF reconstruction, tap-support restriction, warm-started polish) and
+    their A/B measurements.
+
+    Determined (n_src == n_chan). S defaults to the stratified top-power
+    F/4 bins; ``polish_iter`` full-band IP epochs (default 3) close the
+    reconstruction gap at a fraction of full AuxIVA cost. ``callback``
+    receives full-band snapshots with zeros at unselected bins during the
+    sparse phase.
+    """
+    from .models.sparseauxiva import sparse_reconstruct
+    from .oracle.sparseauxiva import select_bins
+
+    X = np.asarray(X)
+    T, F, M = X.shape
+    N = M if n_src is None else int(n_src)
+    if N != M:
+        raise ValueError("sparseauxiva is determined: n_src must equal n_chan")
+    if str(wcov) not in ("f32", "bf16"):
+        raise ValueError(f"wcov must be 'f32' or 'bf16', got {wcov!r}")
+    nfft = 2 * (F - 1)
+    if S is None:
+        S = select_bins(X, max(M * M, int(np.ceil(0.25 * F))))
+    S = np.asarray(S)
+    if S.ndim != 1 or S.size == 0 or S[-1] >= F or S[0] < 0:
+        raise ValueError("S must be a non-empty 1-D array of bin indices < F")
+    if np.any(np.diff(S) <= 0):
+        raise ValueError("S must be strictly increasing (sorted, unique)")
+    n_causal = nfft // 4 if filter_taps is None else int(filter_taps)
+    n_acausal = nfft // 16 if acausal_taps is None else int(acausal_taps)
+    cdtype = np.dtype(dtype or DEFAULT_DTYPE)
+
+    # ---- phase 1: determined IP updates on the selected bins only ----
+    Xsd = _to_device(np.ascontiguousarray(X[:, S, :]), cdtype)
+    W0d = (
+        _to_device(np.ascontiguousarray(W0[S]), cdtype)
+        if W0 is not None else Xsd[:0]
+    )
+    W_hat, Cx = _prepare(Xsd, W0d, M, False, False, W0 is not None)
+    if callback is None:
+        W_hat = _core.overiva_iterations(
+            Xsd, W_hat, Cx, M, int(n_iter), model, wcov=str(wcov)
+        )
+    else:
+        done = 0
+        while done < n_iter:
+            re, im = _snapshot(Xsd, W_hat, M)
+            full = np.zeros((T, F, M), dtype=cdtype)
+            full[:, S, :] = merge_np(np.asarray(re), np.asarray(im))
+            callback(full)
+            step = min(callback_every, n_iter - done)
+            W_hat = _core.overiva_iterations(
+                Xsd, W_hat, Cx, M, step, model, wcov=str(wcov)
+            )
+            done += step
+
+    # ---- phase 2: RTF LASSO reconstruction of the unselected bins ----
+    if S.size == F:
+        W_full = W_hat  # exact AuxIVA degeneration
+        Xd = Xsd
+    else:
+        W_full = sparse_reconstruct(
+            W_hat, jnp.asarray(S, jnp.int32), F, nfft, n_causal,
+            n_acausal, int(lasso_iter), float(lasso_lam),
+        )
+        Xd = _to_device(X, cdtype)
+        # ---- phase 3: optional full-band polish, warm-started ----
+        if polish_iter > 0:
+            W_full, Cx_full = _prepare(Xd, W_full, M, False, False, True)
+            W_full = _core.overiva_iterations(
+                Xd, W_full, Cx_full, M, int(polish_iter), model, wcov=str(wcov)
+            )
+
+    re, im = _finalize(Xd, W_full, M, bool(proj_back))
+    Y = merge_np(np.asarray(re), np.asarray(im))
+    if return_filters:
+        return Y, _to_host(W_full)
+    return Y
+
+
 def _fastmnmf_impl(
     X,
     n_src=None,
@@ -814,6 +917,7 @@ def _fastmnmf_impl(
     dtype=None,
     wcov="f32",
     tie_g=True,
+    n_q_sweeps=1,
 ):
     """Shared FastMNMF1/2 driver (``tie_g`` selects the variant) —
     extension beyond the reference repo (Sekiguchi et al., IEEE/ACM TASLP
@@ -871,13 +975,19 @@ def _fastmnmf_impl(
 
     state = (Q, gd, Wd, Hd)
     if callback is None:
-        state = fastmnmf2_iterations(Xd, *state, int(n_iter), wcov=str(wcov))
+        state = fastmnmf2_iterations(
+            Xd, *state, int(n_iter), wcov=str(wcov),
+            n_q_sweeps=int(n_q_sweeps),
+        )
     else:
         done = 0
         while done < n_iter:
             callback(snapshot(state))
             step = min(callback_every, n_iter - done)
-            state = fastmnmf2_iterations(Xd, *state, step, wcov=str(wcov))
+            state = fastmnmf2_iterations(
+                Xd, *state, step, wcov=str(wcov),
+                n_q_sweeps=int(n_q_sweeps),
+            )
             done += step
 
     Y = snapshot(state)

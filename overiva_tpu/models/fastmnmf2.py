@@ -90,7 +90,8 @@ def _denom(lam, g):
     )
 
 
-def _epoch(X, Q, g, W, H, axis_name=None, bin_mask=None, wcov: str = "f32"):
+def _epoch(X, Q, g, W, H, axis_name=None, bin_mask=None, wcov: str = "f32",
+           n_q_sweeps: int = 1):
     """One epoch. When bins are sharded over ``axis_name``, the only
     collectives are psums of the frequency-reduced NMF/spatial statistics
     (H and g numerators/denominators, the W normalizer) — everything else
@@ -148,20 +149,33 @@ def _epoch(X, Q, g, W, H, axis_name=None, bin_mask=None, wcov: str = "f32"):
     g = jnp.maximum(g * jnp.sqrt(num / jnp.maximum(den, _EPS)), _G_FLOOR)
 
     # ---- diagonalizer rows: sequential IP with weights 1/D (D fixed) ----
+    # V_m depends only on D, not Q, so extra sweeps (n_q_sweeps > 1 —
+    # heavier per-epoch Q optimization on the same MM surrogate) reuse the
+    # covariances: the dominant wcov stage is paid once per epoch.
     lam = _psd(W, H)
     D = _denom(lam, g)
     Qp = to_fminor(Q)  # (M, M, F)
     e = jnp.eye(M, dtype=X.dtype)
-    for m in range(M):  # static unroll — rows are order-dependent via Q
-        V = weighted_covariance_tf(X, 1.0 / D[:, :, m], wcov)  # (F, M, M)
-        Vp = to_fminor(V)
-        QV = matmul_fm(Qp, Vp)
-        rhs = jnp.broadcast_to(e[:, m, None, None], (M, 1, F))
-        q = gauss_solve_fm(QV, rhs)[:, 0, :]  # (M, F)
-        nrm = jnp.sum(jnp.conj(q)[:, None, :] * Vp * q[None, :, :], axis=(0, 1))
-        q = q / jnp.sqrt(jnp.maximum(jnp.real(nrm), _EPS)).astype(q.real.dtype)
-        # static-index row replacement (scatter-free — DESIGN.md §2b)
-        Qp = jnp.concatenate([Qp[:m], jnp.conj(q)[None], Qp[m + 1 :]], axis=0)
+    Vps = [
+        to_fminor(weighted_covariance_tf(X, 1.0 / D[:, :, m], wcov))
+        for m in range(M)
+    ]
+    for _ in range(n_q_sweeps):
+        for m in range(M):  # static unroll — rows are order-dependent via Q
+            Vp = Vps[m]
+            QV = matmul_fm(Qp, Vp)
+            rhs = jnp.broadcast_to(e[:, m, None, None], (M, 1, F))
+            q = gauss_solve_fm(QV, rhs)[:, 0, :]  # (M, F)
+            nrm = jnp.sum(
+                jnp.conj(q)[:, None, :] * Vp * q[None, :, :], axis=(0, 1)
+            )
+            q = q / jnp.sqrt(
+                jnp.maximum(jnp.real(nrm), _EPS)
+            ).astype(q.real.dtype)
+            # static-index row replacement (scatter-free — DESIGN.md §2b)
+            Qp = jnp.concatenate(
+                [Qp[:m], jnp.conj(q)[None], Qp[m + 1 :]], axis=0
+            )
     Q = to_fmajor(Qp)
 
     # ---- likelihood-invariant normalization (nu sums over all bins) ----
@@ -179,19 +193,20 @@ def _epoch(X, Q, g, W, H, axis_name=None, bin_mask=None, wcov: str = "f32"):
     return Q, g, W, H
 
 
-@partial(jax.jit, static_argnames=("n_iter", "axis_name", "wcov"))
+@partial(jax.jit, static_argnames=("n_iter", "axis_name", "wcov",
+                                   "n_q_sweeps"))
 def fastmnmf2_iterations(
     X, Q, g, W, H, n_iter: int, axis_name=None, bin_mask=None,
-    wcov: str = "f32",
+    wcov: str = "f32", n_q_sweeps: int = 1,
 ):
     """Run ``n_iter`` fused epochs. X: (T,F,M) complex; Q: (F,M,M);
-    g: (N,M); W: (N,F,L); H: (N,L,T). ``axis_name``/``bin_mask``: bin
-    sharding (see ``_epoch``)."""
+    g: (N,M) tied / (N,F,M) untied; W: (N,F,L); H: (N,L,T).
+    ``axis_name``/``bin_mask``: bin sharding (see ``_epoch``)."""
     return lax.fori_loop(
         0,
         n_iter,
         lambda _, s: _epoch(X, *s, axis_name=axis_name, bin_mask=bin_mask,
-                            wcov=wcov),
+                            wcov=wcov, n_q_sweeps=n_q_sweeps),
         (Q, g, W, H),
         unroll=False,
     )

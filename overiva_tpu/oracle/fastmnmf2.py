@@ -98,6 +98,7 @@ def _fastmnmf_core(
     callback=None,
     callback_every: int = 10,
     tie_g: bool = True,
+    n_q_sweeps: int = 1,
 ):
     """X: (n_frames, n_freq, n_chan) complex. Returns Y (n_frames, n_freq,
     n_src) source images at ``mic_index`` [, (Q, g, W, H) of the FULL
@@ -105,6 +106,11 @@ def _fastmnmf_core(
 
     ``tie_g=True`` is FastMNMF2 (g shared across frequency, shape (N, M));
     ``tie_g=False`` is FastMNMF1 (free per-frequency g, shape (N, F, M)).
+
+    ``n_q_sweeps``: IP sweeps over the Q rows per epoch. The row
+    covariances V_m depend only on the (epoch-fixed) weights 1/D, so
+    extra sweeps optimize the same MM surrogate further at marginal cost
+    — likelihood monotonicity is preserved.
 
     Unlike the determined IVA family, n_src is free (sources are modeled,
     not extracted by inversion); n_src <= n_chan is the sensible regime.
@@ -218,19 +224,25 @@ def _fastmnmf_core(
         den = np.einsum(f"nft,tfm->{g_sub}", lam, 1.0 / D)
         g = np.maximum(g * np.sqrt(num / np.maximum(den, _EPS)), _G_FLOOR)
 
-        # ---- diagonalizer Q: IP row updates with weights 1/D ----
+        # ---- diagonalizer Q: IP row updates with weights 1/D. V_m depends
+        # only on D (fixed this epoch), so extra sweeps reuse them ----
         lam = psd()
         D = denom(lam)
         if XX is None:
             XX = np.einsum("tfm,tfn->tfmn", X, np.conj(X))  # (T, F, M, M)
-        for m in range(M):
-            V = np.einsum("tf,tfab->fab", 1.0 / D[:, :, m], XX) / T
-            QV = Q @ V
-            rhs = np.tile(np.eye(M, dtype=X.dtype)[m][:, None], (F, 1, 1))
-            q = np.linalg.solve(QV, rhs)[:, :, 0]
-            nrm = np.real(np.einsum("fa,fab,fb->f", np.conj(q), V, q))
-            q = q / np.sqrt(np.maximum(nrm, _EPS))[:, None]
-            Q[:, m, :] = np.conj(q)
+        Vs = [
+            np.einsum("tf,tfab->fab", 1.0 / D[:, :, m], XX) / T
+            for m in range(M)
+        ]
+        for _ in range(n_q_sweeps):
+            for m in range(M):
+                V = Vs[m]
+                QV = Q @ V
+                rhs = np.tile(np.eye(M, dtype=X.dtype)[m][:, None], (F, 1, 1))
+                q = np.linalg.solve(QV, rhs)[:, :, 0]
+                nrm = np.real(np.einsum("fa,fab,fb->f", np.conj(q), V, q))
+                q = q / np.sqrt(np.maximum(nrm, _EPS))[:, None]
+                Q[:, m, :] = np.conj(q)
         Qx, y = model(Q)
 
         # ---- normalization (pure reparametrization; likelihood-invariant,

@@ -77,6 +77,8 @@ ALGORITHMS: dict[str, AlgorithmSpec] = {
         AlgorithmSpec("auxiva_pca", api.auxiva_pca, defaults={"n_iter": 20}),
         AlgorithmSpec("auxiva_pca-iss", api.auxiva_pca,
                       defaults={"n_iter": 20, "inner": "iss"}),
+        AlgorithmSpec("sparseauxiva", api.sparseauxiva, determined=True,
+                      defaults={"n_iter": 20}),
         AlgorithmSpec("ilrma", api.ilrma, determined=True,
                       defaults={"n_iter": 30, "n_components": 2}),
         AlgorithmSpec("fastmnmf", api.fastmnmf,

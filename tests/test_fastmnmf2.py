@@ -149,6 +149,31 @@ def test_fastmnmf1_loglik_monotone_and_above_tied(mixture32):
         lls, lls2)
 
 
+def test_q_sweeps_monotone_and_dominant(mixture32):
+    """n_q_sweeps=2: still monotone (extra sweeps optimize the SAME MM
+    surrogate — V_m depends only on the epoch-fixed weights 1/D), attains
+    >= the 1-sweep likelihood at equal epochs, and the JAX twin tracks
+    the oracle."""
+    _, _, X = mixture32
+    lls = []
+    for it in range(6):
+        _, p = fastmnmf2(
+            X, n_src=2, n_iter=it, seed=5, n_q_sweeps=2, return_filters=True
+        )
+        lls.append(fastmnmf2_loglik(X, *p))
+    assert np.all(np.diff(lls) >= -1e-6 * np.abs(np.asarray(lls[:-1]))), lls
+    _, p1 = fastmnmf2(X, n_src=2, n_iter=5, seed=5, return_filters=True)
+    assert lls[5] >= fastmnmf2_loglik(X, *p1) - 1e-6
+
+    _, p_j = api.fastmnmf2(
+        X, n_src=2, n_iter=5, seed=5, n_q_sweeps=2, return_filters=True
+    )
+    for name, a, b in zip("QgWH", p, p_j):
+        a = np.asarray(a)
+        b = np.asarray(b, dtype=a.dtype)
+        assert np.abs(a - b).max() < 5e-3 * np.abs(a).max(), name
+
+
 def test_fastmnmf1_jax_matches_oracle(mixture32):
     """Same init, 12 epochs: SDR/SIR parity within the 0.1 dB gate."""
     mix, premix, X = mixture32
