@@ -44,6 +44,13 @@ __all__ = [
 
 _EPS = 1e-10
 _G_FLOOR = 1e-4  # spatial-weight floor; see the oracle's derivation note
+# Floor on the modeled diagonalized power D (NOT the lam floor): the IS
+# weights go as y/D^2, so D >= 1e-7 caps them at ~1e14 — safe in float32
+# sums. At 1e-10, long runs (60+ epochs) overflow the f32 NMF statistics
+# to NaN on WASPAA M=8 instances; the NumPy oracle masked this by
+# computing D/S1/S2 in float64 even for complex64 input. With unit-power
+# input scaling, 1e-7 is -70 dB — inactive except on silent slots.
+_D_FLOOR = 1e-7
 
 
 def unit_power(X):
@@ -86,7 +93,8 @@ def _g_sub(g):
 
 def _denom(lam, g):
     return jnp.maximum(
-        jnp.einsum(f"nft,{_g_sub(g)}->tfm", lam, g, precision=PRECISION), _EPS
+        jnp.einsum(f"nft,{_g_sub(g)}->tfm", lam, g, precision=PRECISION),
+        _D_FLOOR,
     )
 
 

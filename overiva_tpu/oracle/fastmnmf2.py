@@ -53,12 +53,20 @@ _EPS = 1e-10
 # when it binds it is a stability projection, same spirit as the IVA
 # family's relative activation floor (PARITY.md row 13).
 _G_FLOOR = 1e-4
+# Floor on the modeled diagonalized power D (distinct from the lam/_EPS
+# floor): the IS weights go as y/D^2; D >= 1e-7 caps them at ~1e14 so
+# float32 statistic sums cannot overflow (the JAX twin runs a pure-f32
+# pipeline; NumPy silently promoted D/S1/S2 to float64 and masked the
+# overflow that NaN'd 60+-epoch f32 runs on WASPAA M=8 instances).
+# With unit-power input scaling this is -70 dB — inactive except on
+# silent slots.
+_D_FLOOR = 1e-7
 
 
 def _denom_g(lam, g):
     """D[t,f,m] = sum_n lam[n,f,t] g[n,(f,)m] — tied (N,M) or untied (N,F,M)."""
     sub = "nft,nm->tfm" if g.ndim == 2 else "nft,nfm->tfm"
-    return np.maximum(np.einsum(sub, lam, g), _EPS)
+    return np.maximum(np.einsum(sub, lam, g), _D_FLOOR)
 
 
 def _loglik(y, D, Q):
