@@ -802,6 +802,7 @@ def _eye_like(X, m):
 def sparseauxiva(
     X,
     S=None,
+    n_bins=None,
     n_src=None,
     n_iter=20,
     proj_back=True,
@@ -827,13 +828,15 @@ def sparseauxiva(
     their A/B measurements.
 
     Determined (n_src == n_chan). S defaults to the stratified top-power
-    F/4 bins; ``polish_iter`` full-band IP epochs (default 3) close the
-    reconstruction gap at a fraction of full AuxIVA cost. ``callback``
-    receives full-band snapshots with zeros at unselected bins during the
-    sparse phase.
+    F/4 bins, or pass ``n_bins`` (count or fraction of F) — use
+    ``n_bins=0.5`` on reverberant rooms, where F/2 + polish matches or
+    beats full AuxIVA at ~35 % less IP work (oracle docstring has the
+    regime measurements); ``polish_iter`` full-band IP epochs (default 3)
+    close the reconstruction gap. ``callback`` receives full-band
+    snapshots with zeros at unselected bins during the sparse phase.
     """
     from .models.sparseauxiva import sparse_reconstruct
-    from .oracle.sparseauxiva import select_bins
+    from .oracle.sparseauxiva import _resolve_n_bins, select_bins
 
     X = np.asarray(X)
     T, F, M = X.shape
@@ -844,7 +847,7 @@ def sparseauxiva(
         raise ValueError(f"wcov must be 'f32' or 'bf16', got {wcov!r}")
     nfft = 2 * (F - 1)
     if S is None:
-        S = select_bins(X, max(M * M, int(np.ceil(0.25 * F))))
+        S = select_bins(X, _resolve_n_bins(n_bins, F, M))
     S = np.asarray(S)
     if S.ndim != 1 or S.size == 0 or S[-1] >= F or S[0] < 0:
         raise ValueError("S must be a non-empty 1-D array of bin indices < F")

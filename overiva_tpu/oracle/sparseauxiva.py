@@ -100,9 +100,21 @@ def sparir(
     return g
 
 
+def _resolve_n_bins(n_bins, F: int, M: int) -> int:
+    """None -> max(M^2, F/4); float in (0, 1] -> fraction of F; int -> count."""
+    if n_bins is None:
+        return max(M * M, int(np.ceil(0.25 * F)))
+    if isinstance(n_bins, float):
+        if not 0.0 < n_bins <= 1.0:
+            raise ValueError("fractional n_bins must be in (0, 1]")
+        return max(M * M, int(np.ceil(n_bins * F)))
+    return int(n_bins)
+
+
 def sparseauxiva(
     X: np.ndarray,
     S: np.ndarray | None = None,
+    n_bins=None,
     n_src: int | None = None,
     n_iter: int = 20,
     proj_back: bool = True,
@@ -118,8 +130,15 @@ def sparseauxiva(
     callback_every: int = 10,
 ):
     """X: (n_frames, n_freq, n_chan) complex. S: sorted bin indices for
-    the IP updates (default: stratified top-power, F/4 bins). Determined
-    (n_src == n_chan) like the underlying AuxIVA. Returns Y
+    the IP updates; or give ``n_bins`` (count, or fraction of F) and let
+    the stratified selector pick them (default F/4). Regime guidance,
+    measured (data/waspaa_sparseauxiva/RESULTS.md): F/4 suffices when
+    the relative filters are short vs nfft (mild reverb / large nfft);
+    on reverberant WASPAA rooms (RT60 0.25 s, nfft 4096) use
+    ``n_bins=0.5`` — with 3-5 polish epochs it MATCHES or beats 20
+    full-band epochs at ~35 % less IP work, while F/4 falls several dB
+    short there. Determined (n_src == n_chan) like the underlying
+    AuxIVA. Returns Y
     (n_frames, n_freq, n_src) [, W (n_freq, n_src, n_chan): measured IP
     rows at S (minimal-distortion-scaled), inv(A_rec) rows elsewhere,
     polished full-band if ``polish_iter`` > 0].
@@ -137,7 +156,7 @@ def sparseauxiva(
         raise ValueError("sparseauxiva is determined: n_src must equal n_chan")
     nfft = 2 * (F - 1)
     if S is None:
-        S = select_bins(X, max(M * M, int(np.ceil(0.25 * F))))
+        S = select_bins(X, _resolve_n_bins(n_bins, F, M))
     S = np.asarray(S)
     if S.ndim != 1 or S.size == 0 or S[-1] >= F or S[0] < 0:
         raise ValueError("S must be a non-empty 1-D array of bin indices < F")

@@ -121,6 +121,23 @@ def test_callback_and_filters(mixture22):
     assert W2.shape == (F, M, M)
 
 
+def test_n_bins_parameter(mixture22):
+    """n_bins as a count or a fraction selects the S size; fraction 1.0
+    selects every bin (exact AuxIVA degeneration path)."""
+    _, _, X = mixture22
+    F = X.shape[1]
+    from overiva_tpu.oracle.sparseauxiva import _resolve_n_bins
+
+    assert _resolve_n_bins(None, F, 2) == int(np.ceil(0.25 * F))
+    assert _resolve_n_bins(0.5, F, 2) == int(np.ceil(0.5 * F))
+    assert _resolve_n_bins(129, F, 2) == 129
+    Y1 = api.sparseauxiva(X, n_bins=int(np.ceil(0.5 * F)), n_iter=4)
+    Y2 = api.sparseauxiva(X, n_bins=0.5, n_iter=4)
+    np.testing.assert_array_equal(Y1, Y2)
+    with pytest.raises(ValueError):
+        api.sparseauxiva(X, n_bins=1.5)
+
+
 def test_validation(mixture22):
     _, _, X = mixture22
     with pytest.raises(ValueError):
