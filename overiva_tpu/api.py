@@ -1288,6 +1288,90 @@ def fastmnmf_batch(X, **kwargs):
 
 
 @partial(
+    jax.jit,
+    static_argnames=(
+        "n_iter", "model", "proj_back", "nfft", "n_causal", "n_acausal",
+        "lasso_iter", "polish_iter",
+    ),
+)
+def _sparse_batch_jit(
+    X, S, lam_ratio, n_iter, model, proj_back, nfft, n_causal, n_acausal,
+    lasso_iter, polish_iter,
+):
+    from .models.sparseauxiva import sparse_reconstruct
+    from .ops.covariance import covariance
+    from .ops.projection import apply_projection_back
+
+    B, T, F, M = X.shape
+
+    def one(Xb, Sb):
+        Xs = jnp.take(Xb, Sb, axis=1)  # (T, k, M) per-element bin gather
+        W = jnp.broadcast_to(jnp.eye(M, dtype=Xb.dtype), (Xs.shape[1], M, M))
+        Cx_s = jnp.zeros((Xs.shape[1], M, M), Xb.dtype)  # unused at N == M
+        W = _core.overiva_iterations(Xs, W, Cx_s, M, n_iter, model)
+        W_full = sparse_reconstruct(
+            W, Sb, F, nfft, n_causal, n_acausal, lasso_iter, lam_ratio
+        )
+        if polish_iter > 0:
+            Cx_f = jnp.zeros((F, M, M), Xb.dtype)
+            W_full = _core.overiva_iterations(
+                Xb, W_full, Cx_f, M, polish_iter, model
+            )
+        Y = _core.demix(Xb, W_full)
+        if proj_back:
+            Y = apply_projection_back(Y, Xb[:, :, 0])
+        return Y
+
+    Y = jax.vmap(one)(X, S)
+    return jnp.real(Y), jnp.imag(Y)
+
+
+def sparseauxiva_batch(
+    X,
+    n_bins=None,
+    n_src=None,
+    n_iter=20,
+    proj_back=True,
+    model="laplace",
+    lasso_iter=300,
+    lasso_lam=0.05,
+    filter_taps=None,
+    acausal_taps=None,
+    polish_iter=3,
+    dtype=None,
+):
+    """Batch of same-shape mixtures through SparseAuxIVA in ONE fused XLA
+    program. X: (batch, T, F, M) -> (batch, T, F, M). Bin subsets are
+    selected per element (stratified top power, so every element has the
+    same subset SIZE); see :func:`sparseauxiva` for the parameters and
+    regime guidance.
+    """
+    from .oracle.sparseauxiva import _resolve_n_bins, select_bins
+
+    X = np.asarray(X)
+    B, T, F, M = X.shape
+    N = M if n_src is None else int(n_src)
+    if N != M:
+        raise ValueError("sparseauxiva is determined: n_src must equal n_chan")
+    nfft = 2 * (F - 1)
+    k = _resolve_n_bins(n_bins, F, M)
+    S = np.stack([select_bins(X[b], k) for b in range(B)])
+    if S.shape[1] == F:
+        raise ValueError("all bins selected: use auxiva_iss/overiva_batch")
+    n_causal = nfft // 4 if filter_taps is None else int(filter_taps)
+    n_acausal = nfft // 16 if acausal_taps is None else int(acausal_taps)
+    cdtype = np.dtype(dtype or DEFAULT_DTYPE)
+
+    Xd = _to_device(X, cdtype)
+    re, im = _sparse_batch_jit(
+        Xd, jnp.asarray(S, jnp.int32), float(lasso_lam), int(n_iter),
+        str(model), bool(proj_back), nfft, n_causal, n_acausal,
+        int(lasso_iter), int(polish_iter),
+    )
+    return merge_np(np.asarray(re), np.asarray(im))
+
+
+@partial(
     jax.jit, static_argnames=("n_src", "n_iter", "model", "proj_back")
 )
 def _iss_batch_jit(X, n_src, n_iter, model, proj_back):

@@ -138,6 +138,20 @@ def test_n_bins_parameter(mixture22):
         api.sparseauxiva(X, n_bins=1.5)
 
 
+def test_batch_matches_single(mixture22):
+    """sparseauxiva_batch: per-element stratified bin subsets, one fused
+    program; element 0 must equal the single-mixture path (scaling the
+    other element changes neither its subset nor, after projection back,
+    anything but scale)."""
+    _, _, X = mixture22
+    Xb = np.stack([X, 0.5 * X])
+    Yb = api.sparseauxiva_batch(Xb, n_iter=6, polish_iter=2)
+    Y0 = api.sparseauxiva(X, n_iter=6, polish_iter=2)
+    assert Yb.shape == (2,) + Y0.shape
+    np.testing.assert_allclose(Yb[0], Y0, rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(Yb[1], 0.5 * Y0, rtol=6e-3, atol=2e-5)
+
+
 def test_validation(mixture22):
     _, _, X = mixture22
     with pytest.raises(ValueError):
