@@ -201,6 +201,21 @@ def test_fastmnmf1_batch_matches_single(mixture32):
     np.testing.assert_allclose(Yb[0], Y0, rtol=2e-4, atol=2e-6)
 
 
+def test_long_horizon_f32_stays_finite(mixture32):
+    """Regression net for the D floor (_D_FLOOR=1e-7): 120 f32 epochs on
+    a small mixture must stay finite. Before the floor, the IS weights
+    y/D^2 overflowed pure-f32 statistic sums at 60+ epochs (the NumPy
+    oracle masked it by promoting D/S1/S2 to float64); see PARITY.md
+    behavioral notes for the full regime characterization."""
+    _, _, X = mixture32
+    Y, (Q, g, W, H) = api.fastmnmf2(
+        X, n_src=2, n_iter=120, seed=3, return_filters=True,
+        dtype=np.complex64,
+    )
+    for name, arr in (("Y", Y), ("Q", Q), ("g", g), ("W", W), ("H", H)):
+        assert np.isfinite(arr).all(), name
+
+
 def test_registry_entry(mixture32):
     _, _, X = mixture32
     assert applicable("fastmnmf2", 2, 3)
