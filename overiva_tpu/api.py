@@ -1073,6 +1073,38 @@ def _separate_time_jit(x, nfft, hop, n_src, n_iter, model, init_eig, algo="ip"):
         W_hat, Cx = _prepare(X, X[:0], n_src, False, True, False)
         W_hat = overiva_ip2_iterations(X, W_hat, Cx, n_src, n_iter, model)
         Y = _core.demix(X, W_hat[:, :n_src, :])
+    elif algo in ("fastmnmf", "fastmnmf2"):
+        # full-rank spatial model; Wiener images at mic 0 are already
+        # minimally distorted — no projection back. NMF init uses
+        # jax.random (deterministic key) instead of the numpy init of
+        # api.fastmnmf2: the fused pipeline cannot take host arrays.
+        from .models.fastmnmf2 import (
+            fastmnmf2_iterations,
+            fastmnmf2_wiener,
+            unit_power,
+            whiten_q,
+        )
+
+        T, F, M = X.shape
+        L = 2
+        Xu, x_scale = unit_power(X)
+        Q = whiten_q(Xu)
+        rdt = jnp.finfo(X.dtype).dtype
+        g = jnp.full((M, M), 1e-2, rdt)
+        g = g.at[jnp.arange(M), jnp.arange(M)].set(1.0)
+        g = g / jnp.sum(g, axis=1, keepdims=True)
+        if algo == "fastmnmf":  # FastMNMF1: per-frequency spatial weights
+            g = jnp.broadcast_to(g[:, None, :], (M, F, M))
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        Wn = jax.random.uniform(k1, (M, F, L), rdt) + 0.1
+        Hn = jax.random.uniform(k2, (M, L, T), rdt) + 0.1
+        Q, g, Wn, Hn = fastmnmf2_iterations(Xu, Q, g, Wn, Hn, n_iter)
+        Y = fastmnmf2_wiener(Xu, Q, g, Wn, Hn, 0) * x_scale
+        if n_src < M:
+            en = jnp.sum(jnp.abs(Y) ** 2, axis=(0, 1))
+            pick = jnp.sort(jnp.argsort(-en)[:n_src])
+            Y = jnp.take(Y, pick, axis=2)
+        return _stft.synthesis(Y, nfft, hop)
     else:
         Y, _ = overiva_run(X, n_src, n_iter, model, init_eig=init_eig)
     Y = apply_projection_back(Y, X[:, :, 0])
@@ -1095,12 +1127,17 @@ def separate(
     complex at any boundary — the serving path).
 
     ``algo``: "ip" (OverIVA/AuxIVA iterative projection, reference-parity),
-    "iss" (rank-1 source steering; OverIVA-ISS when n_src < n_chan), or
-    "ip2" (pairwise joint updates, 3-5x fewer iterations; n_src >= 2).
+    "iss" (rank-1 source steering; OverIVA-ISS when n_src < n_chan),
+    "ip2" (pairwise joint updates, 3-5x fewer iterations; n_src >= 2),
+    or "fastmnmf"/"fastmnmf2" (full-rank spatial model, Wiener images at
+    mic 0; NMF init from a fixed jax.random key, 30 epochs recommended).
     mix: (n_samples, n_chan) float. Returns (n_samples, n_src) float.
     """
-    if algo not in ("ip", "iss", "ip2"):
-        raise ValueError(f"unknown algo {algo!r}; use 'ip', 'iss' or 'ip2'")
+    if algo not in ("ip", "iss", "ip2", "fastmnmf", "fastmnmf2"):
+        raise ValueError(
+            f"unknown algo {algo!r}; use 'ip', 'iss', 'ip2', 'fastmnmf' or"
+            " 'fastmnmf2'"
+        )
     mix = np.asarray(mix)
     hop = hop or nfft // 2
     n, M = mix.shape

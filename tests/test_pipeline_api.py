@@ -68,3 +68,26 @@ def test_separate_iss_path():
     import pytest
     with pytest.raises(ValueError):
         api.separate(mix, n_src=2, algo="nope")
+
+
+def test_separate_fastmnmf_algos():
+    """Fused time pipeline with the full-rank spatial family: separates a
+    3-mic mixture to high SIR and returns n_src channels (Wiener images
+    at mic 0 — no projection back in this branch)."""
+    import numpy as np
+
+    from overiva_tpu import api
+    from overiva_tpu.metrics import BssEvalReferences
+
+    from helpers import make_mixture
+
+    rng = np.random.default_rng(11)
+    mix, premix, _ = make_mixture(
+        rng, n_src=2, n_mics=3, n_samples=24000, n_taps=8, snr_db=25
+    )
+    ev = BssEvalReferences(premix[:, :, 0])
+    for algo in ("fastmnmf2", "fastmnmf"):
+        y = api.separate(mix, n_src=2, nfft=512, n_iter=30, algo=algo)
+        assert y.shape == (mix.shape[0], 2) and np.isfinite(y).all()
+        _, sir, _, _ = ev.evaluate(y.T)
+        assert sir.mean() > 15, (algo, sir)
