@@ -74,6 +74,13 @@ def main(argv=None):
              lambda X: api.auxiva_iss(X[:, :, :2], n_iter=15)),
             ("ogive N=1", lambda X: oracle.ogive(X, n_iter=60, step_size=0.05, tol=0),
              lambda X: api.ogive(X, n_iter=60, step_size=0.05, tol=0)),
+            ("fastmnmf2 N=2", lambda X: oracle.fastmnmf2(X, n_src=2, n_iter=12, seed=5),
+             lambda X: api.fastmnmf2(X, n_src=2, n_iter=12, seed=5)),
+            ("fastmnmf N=2", lambda X: oracle.fastmnmf(X, n_src=2, n_iter=12, seed=5),
+             lambda X: api.fastmnmf(X, n_src=2, n_iter=12, seed=5)),
+            ("sparseauxiva M=N=2",
+             lambda X: oracle.sparseauxiva(X[:, :, :2], n_iter=15),
+             lambda X: api.sparseauxiva(X[:, :, :2], n_iter=15)),
         ]
 
     print(f"{'algorithm':20s} {'|dSDR| dB':>10s} {'|dSIR| dB':>10s}  gate 0.1 dB")

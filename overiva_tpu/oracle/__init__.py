@@ -9,7 +9,8 @@ NumPy, independent of the JAX code paths.
 from .auxiva import auxiva
 from .auxiva_iss import auxiva_iss
 from .auxiva_pca import auxiva_pca, pca
-from .fastmnmf2 import fastmnmf2, fastmnmf2_loglik
+from .fastmnmf2 import fastmnmf, fastmnmf2, fastmnmf2_loglik
+from .sparseauxiva import sparseauxiva
 from .five import five
 from .models import EPS, MODELS, activations
 from .ogive import ogive
@@ -29,8 +30,10 @@ __all__ = [
     "auxiva_ip2",
     "auxiva_iss",
     "auxiva_pca",
+    "fastmnmf",
     "fastmnmf2",
     "fastmnmf2_loglik",
+    "sparseauxiva",
     "five",
     "hann",
     "ogive",
