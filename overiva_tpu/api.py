@@ -133,8 +133,12 @@ def overiva(
     ``wcov="bf16"``: run the weighted-covariance stage (the per-iteration
     FLOPs majority) on the MXU in bfloat16 with float32 accumulation —
     ~1.8x faster end-to-end at realistic frame counts on a v5e, with
-    separation quality within ~0.05 dB of the f32 path (docs/DESIGN.md
-    §2c, tests/test_bf16.py). The f32 default is the 0.1 dB parity path.
+    separation quality within ~0.05 dB of the f32 path on clean and
+    noisy mixtures (docs/DESIGN.md §2c, tests/test_bf16.py). In HEAVY
+    reverb (RIR past the STFT window) instance-level deltas up to ~2 dB
+    either way were measured (unbiased; DESIGN §2c stress caveat) —
+    keep the f32 default where per-instance reproducibility matters.
+    The f32 default is the 0.1 dB parity path.
     """
     X = np.asarray(X)
     T, F, M = X.shape
