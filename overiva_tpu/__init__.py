@@ -49,6 +49,13 @@ _API = {
     "auxiva_pca": "api",
     "pca": "api",
     "ilrma": "api",
+    "fastmnmf": "api",
+    "fastmnmf2": "api",
+    "sparseauxiva": "api",
+    "fastmnmf_batch": "api",
+    "fastmnmf2_batch": "api",
+    "sparseauxiva_batch": "api",
+    "OnlineAuxIVAISS": "api",
     "stft_analysis": "api",
     "stft_synthesis": "api",
     "projection_back": "api",

@@ -53,6 +53,21 @@ __all__ = [
     "auxiva_iss",
     "five",
     "OnlineAuxIVAISS",
+    "ilrma",
+    "fastmnmf",
+    "fastmnmf2",
+    "sparseauxiva",
+    "overiva_ip2",
+    "auxiva_ip2",
+    "overiva_iss",
+    "auxiva_iss_batch",
+    "overiva_iss_batch",
+    "overiva_ip2_batch",
+    "ogive_batch",
+    "five_batch",
+    "fastmnmf_batch",
+    "fastmnmf2_batch",
+    "sparseauxiva_batch",
 ]
 
 DEFAULT_DTYPE = np.complex64

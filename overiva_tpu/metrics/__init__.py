@@ -2,4 +2,4 @@
 
 from .bss_eval import BssEvalReferences, bss_eval_images, bss_eval_sources
 
-__all__ = ["bss_eval_images", "bss_eval_sources"]
+__all__ = ["BssEvalReferences", "bss_eval_images", "bss_eval_sources"]

@@ -147,7 +147,9 @@ def _epoch(
         # chunk_frames: stream the frame axis (SURVEY.md §5.7) so long
         # recordings never materialize the (T, F, M) weighted temporary
         if chunk_frames:
-            V = weighted_covariance_chunked(X, phi[:, k], chunk=chunk_frames)
+            V = weighted_covariance_chunked(
+                X, phi[:, k], chunk=chunk_frames, wcov=wcov
+            )
         else:
             V = Vs[k]  # (F, M, M)
         Vp = to_fminor(V)  # (M, M, F)

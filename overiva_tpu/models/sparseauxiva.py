@@ -50,10 +50,19 @@ def sparse_reconstruct(
     A_s = small_inv(Ws)  # (k, M, M) columns = steering
     R_s = A_s / A_s[:, :1, :]
 
+    # DFT phase indices exactly, in integers mod nfft: the f32 product
+    # support*S exceeds 2^24 once nfft >= 8192 and the phases go inexact.
+    # Byte-split keeps every intermediate < 2^25 for any practical nfft.
     support = jnp.concatenate(
         [jnp.arange(n_causal), jnp.arange(nfft - n_acausal, nfft)]
-    ).astype(rdtype)
-    ang = (-2.0 * jnp.pi / nfft) * support[:, None] * S[None, :].astype(rdtype)
+    ).astype(jnp.int32)
+    S_i = jnp.asarray(S, jnp.int32) % nfft
+    lo, hi = S_i & 0xFF, S_i >> 8
+    prod = (
+        (support[:, None] * hi[None, :]) % nfft * 256
+        + support[:, None] * lo[None, :]
+    ) % nfft
+    ang = (-2.0 * jnp.pi / nfft) * prod.astype(rdtype)
     E = jax.lax.complex(jnp.cos(ang), jnp.sin(ang)).astype(cdtype)  # (P, k)
     Eh = jnp.conj(E).T
 

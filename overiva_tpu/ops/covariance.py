@@ -114,12 +114,16 @@ def weighted_covariance_tf(X, w_tf, wcov: str = "f32"):
     return jnp.einsum("tfm,tfn->fmn", Xw, jnp.conj(X), precision=PRECISION) / T
 
 
-def weighted_covariance_chunked(X, phi, chunk: int = 256):
+def weighted_covariance_chunked(X, phi, chunk: int = 256, wcov: str = "f32"):
     """Frame-chunked accumulation of the weighted covariance.
 
     Equivalent to :func:`weighted_covariance` but scans over T in blocks so
     the (chunk, F, M) weighted temporary is the only extra memory. T must be
     a multiple of ``chunk`` (pad with phi=0 frames otherwise).
+
+    ``wcov="bf16"`` casts each chunk's operands to bfloat16 for the MXU
+    contraction (f32 accumulation across chunks), the streamed analog of
+    :func:`weighted_covariance_all`'s fast mode.
     """
     T, F, M = X.shape
     if T % chunk != 0:
@@ -129,6 +133,31 @@ def weighted_covariance_chunked(X, phi, chunk: int = 256):
     n_chunks = X.shape[0] // chunk
     Xc = X.reshape(n_chunks, chunk, F, M)
     pc = phi.reshape(n_chunks, chunk)
+
+    if wcov == "bf16":
+
+        def body16(acc, inputs):
+            xb, pb = inputs
+            xr = xb.real.astype(jnp.bfloat16)
+            xi = xb.imag.astype(jnp.bfloat16)
+            w = pb[:, None, None].astype(jnp.bfloat16)
+            wr, wi = xr * w, xi * w
+
+            def mm(a, b):
+                return jnp.einsum(
+                    "tfm,tfn->fmn",
+                    a,
+                    b,
+                    precision=PRECISION,
+                    preferred_element_type=jnp.float32,
+                )
+
+            Vre = mm(wr, xr) + mm(wi, xi)
+            Vim = mm(wi, xr) - mm(wr, xi)
+            return acc + (Vre + 1j * Vim).astype(acc.dtype), None
+
+        V, _ = lax.scan(body16, jnp.zeros((F, M, M), X.dtype), (Xc, pc))
+        return V / T
 
     def body(acc, inputs):
         xb, pb = inputs

