@@ -16,7 +16,7 @@ from jax import lax
 
 from ..ops.covariance import covariance, weighted_covariance
 from ..ops.linalg import PRECISION, eigh, mat_h
-from .source_models import activations
+from .source_models import activations_from_power, power
 
 __all__ = ["five_whiten", "five_iterations", "five_demix"]
 
@@ -36,14 +36,25 @@ def five_demix(Xw, w):
     return jnp.einsum("fm,tfm->tf", jnp.conj(w), Xw, precision=PRECISION)
 
 
-@partial(jax.jit, static_argnames=("n_iter", "model"))
-def five_iterations(Xw, w, n_iter: int, model: str):
-    """Run n_iter minimum-eigenvector epochs in the whitened domain."""
+@partial(jax.jit, static_argnames=("n_iter", "model", "axis_name", "n_freq"))
+def five_iterations(
+    Xw, w, n_iter: int, model: str, axis_name=None, n_freq=None, bin_mask=None
+):
+    """Run n_iter minimum-eigenvector epochs in the whitened domain.
+
+    ``axis_name``/``n_freq``/``bin_mask``: bin-sharded execution — the
+    per-frame power is psum'd over the mesh axis (the single collective,
+    SURVEY.md §5.8); everything else (whitened covariance, min-eigvec,
+    phase fix) is per-bin local.
+    """
     T, F, M = Xw.shape
 
     def epoch(_, w):
         y = five_demix(Xw, w)
-        _, phi = activations(y[:, :, None], model)
+        pw = power(y[:, :, None], bin_mask)  # (T, 1) — partial when sharded
+        if axis_name is not None:
+            pw = lax.psum(pw, axis_name)
+        _, phi = activations_from_power(pw, n_freq or F, model)
         V = weighted_covariance(Xw, phi[:, 0])
         _, E_v = eigh(V)
         w = E_v[:, :, 0]

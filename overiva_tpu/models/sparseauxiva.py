@@ -26,29 +26,33 @@ from jax import lax
 
 from ..ops.linalg import PRECISION, small_inv
 
-__all__ = ["sparse_reconstruct"]
+__all__ = ["sparse_reconstruct", "sparse_rtfs", "sparse_rtf_taps"]
 
 
-@partial(
-    jax.jit,
-    static_argnames=("F", "nfft", "n_causal", "n_acausal", "lasso_iter"),
-)
-def sparse_reconstruct(
-    Ws, S, F: int, nfft: int, n_causal: int, n_acausal: int,
-    lasso_iter: int, lam_ratio,
-):
-    """Full-band demixing from IP results on the selected bins.
+def sparse_rtfs(Ws):
+    """Mixing-side RTFs at the measured bins (unit response at mic 0).
 
-    Ws: (k, M, M) complex demixing at bins ``S`` (k,) int. Returns W
-    (F, M, M): inv of the RTF-normalized mixing, measured bins verbatim.
+    Ws: (k, M, M) demixing -> R_s (k, M, M), columns = normalized steering.
     """
-    k, M, _ = Ws.shape
-    cdtype = Ws.dtype
-    rdtype = jnp.finfo(cdtype).dtype
+    A_s = small_inv(Ws)
+    return A_s / A_s[:, :1, :]
 
-    # mixing-side RTFs on the measured bins (unit response at mic 0)
-    A_s = small_inv(Ws)  # (k, M, M) columns = steering
-    R_s = A_s / A_s[:, :1, :]
+
+def sparse_rtf_taps(
+    R_s, S, nfft: int, n_causal: int, n_acausal: int, lasso_iter: int,
+    lam_ratio, pvary_axes=None,
+):
+    """FISTA LASSO for the support-restricted RTF impulse responses.
+
+    R_s: (k, M, M) RTFs at bins ``S`` (k,) int. Returns the full-circle tap
+    tensor g_full (M*(M-1), nfft) real — rfft of it gives every filter's
+    full-band RTF. Shared by the single-device :func:`sparse_reconstruct`
+    and the bin-sharded path (``parallel.sharded.sharded_sparseauxiva``),
+    where it runs replicated per shard after a k-bin gather of Ws.
+    """
+    k, M, _ = R_s.shape
+    cdtype = R_s.dtype
+    rdtype = jnp.finfo(cdtype).dtype
 
     # DFT phase indices exactly, in integers mod nfft: the f32 product
     # support*S exceeds 2^24 once nfft >= 8192 and the phases go inexact.
@@ -84,13 +88,38 @@ def sparse_reconstruct(
         return g_new, v_new, t_new
 
     g0 = jnp.zeros((M * (M - 1), n_causal + n_acausal), rdtype)
-    g, _, _ = lax.fori_loop(
-        0, lasso_iter, fista_step, (g0, g0, jnp.asarray(1.0, rdtype))
-    )
+    t0 = jnp.asarray(1.0, rdtype)
+    if pvary_axes:
+        # under shard_map the constant-initialized carry must already have
+        # the varying-axes type its (data-dependent) loop outputs will have
+        g0 = lax.pcast(g0, tuple(pvary_axes), to="varying")
+        t0 = lax.pcast(t0, tuple(pvary_axes), to="varying")
+    g, _, _ = lax.fori_loop(0, lasso_iter, fista_step, (g0, g0, t0))
 
     # static concatenate into the full circle (support ranges contiguous)
     mid = jnp.zeros((M * (M - 1), nfft - n_causal - n_acausal), rdtype)
-    g_full = jnp.concatenate([g[:, :n_causal], mid, g[:, n_causal:]], axis=1)
+    return jnp.concatenate([g[:, :n_causal], mid, g[:, n_causal:]], axis=1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("F", "nfft", "n_causal", "n_acausal", "lasso_iter"),
+)
+def sparse_reconstruct(
+    Ws, S, F: int, nfft: int, n_causal: int, n_acausal: int,
+    lasso_iter: int, lam_ratio,
+):
+    """Full-band demixing from IP results on the selected bins.
+
+    Ws: (k, M, M) complex demixing at bins ``S`` (k,) int. Returns W
+    (F, M, M): inv of the RTF-normalized mixing, measured bins verbatim.
+    """
+    k, M, _ = Ws.shape
+    cdtype = Ws.dtype
+    R_s = sparse_rtfs(Ws)
+    g_full = sparse_rtf_taps(
+        R_s, S, nfft, n_causal, n_acausal, lasso_iter, lam_ratio
+    )
     R_rec = jnp.fft.rfft(g_full, axis=-1).astype(cdtype)  # (M(M-1), F)
     A_rec = jnp.concatenate(
         [

@@ -28,12 +28,15 @@ from jax import shard_map
 
 from ..models import auxiva_iss as _iss
 from ..models import fastmnmf2 as _fmnmf
+from ..models import five as _five
 from ..models import ilrma as _ilrma
 from ..models import ogive as _ogive
 from ..models import overiva as _core
 from ..models import overiva_ip2 as _ip2
+from ..models import sparseauxiva as _sparse
 from ..ops import projection as _proj
 from ..ops.covariance import covariance
+from ..ops.linalg import small_inv
 from .mesh import AXIS_BINS, AXIS_MIX
 
 __all__ = [
@@ -45,6 +48,8 @@ __all__ = [
     "sharded_overiva_iss",
     "sharded_overiva_ip2",
     "sharded_fastmnmf2",
+    "sharded_five",
+    "sharded_sparseauxiva",
 ]
 
 
@@ -580,3 +585,281 @@ def sharded_fastmnmf2(
         int(mic_index), int(N_out),
     )
     return Y[:, :, :F, :] * x_scale
+
+
+# --------------------------------------------------------------- FIVE
+
+def _five_one(X, bin_mask, n_iter, model, n_freq_total, proj_back):
+    """Per-shard, per-mixture FIVE on the local bin slice: whitening,
+    min-eigenvector epochs and phase fixing are per-bin local; the
+    activation power psums over AXIS_BINS (models/five.five_iterations)."""
+    Fl, M = X.shape[1], X.shape[2]
+    Xw, _ = _five.five_whiten(X)
+    w = jnp.zeros((Fl, M), X.dtype).at[:, 0].set(1.0)
+    w = jax.lax.pcast(w, (AXIS_MIX, AXIS_BINS), to="varying")
+    w = _five.five_iterations(
+        Xw, w, n_iter, model,
+        axis_name=AXIS_BINS, n_freq=n_freq_total, bin_mask=bin_mask,
+    )
+    Y = _five.five_demix(Xw, w)[:, :, None]
+    if proj_back:
+        Y = _proj.apply_projection_back(Y, X[:, :, 0])
+    return Y
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "n_iter", "model", "proj_back", "n_freq_total"),
+)
+def _sharded_five_padded(X, bin_mask, mesh, n_iter, model, proj_back,
+                         n_freq_total):
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(AXIS_MIX, None, AXIS_BINS, None), P(AXIS_BINS)),
+        out_specs=P(AXIS_MIX, None, AXIS_BINS, None),
+    )
+    def run(Xl, maskl):
+        sep = lambda x: _five_one(
+            x, maskl, n_iter, model, n_freq_total, proj_back
+        )
+        return jax.vmap(sep)(Xl)
+
+    return run(X, bin_mask)
+
+
+def sharded_five(
+    mesh,
+    X_batch,
+    n_iter: int = 10,
+    model: str = "laplace",
+    proj_back: bool = True,
+):
+    """FIVE single-source extraction of a batch of mixtures over the mesh.
+
+    X_batch: (B, T, F, M) complex. Returns Y: (B, T, F, 1). Matches
+    ``api.five`` per batch element (tests/test_sharding.py)."""
+    B, T, F, M = X_batch.shape
+    n_mix = mesh.shape[AXIS_MIX]
+    n_bins = mesh.shape[AXIS_BINS]
+    if B % n_mix != 0:
+        raise ValueError(f"batch {B} not divisible by mix axis {n_mix}")
+    F_pad, mask = pad_bins(F, n_bins)
+    if F_pad != F:
+        reps = jnp.repeat(X_batch[:, :, -1:, :], F_pad - F, axis=2)
+        X_batch = jnp.concatenate([X_batch, reps], axis=2)
+    Y = _sharded_five_padded(
+        X_batch, jnp.asarray(mask), mesh, int(n_iter), model,
+        bool(proj_back), int(F),
+    )
+    return Y[:, :, :F, :]
+
+
+# -------------------------------------------------------- SparseAuxIVA
+
+def _sparse_ip_one(X, bin_mask, n_iter, model, k_total):
+    """Phase 1: determined IP on the (sharded) selected-bin slice. Returns
+    the per-bin demixing W (F_local, M, M); the activation power psums
+    over the selected-bin shard axis, everything else is bin-local."""
+    M = X.shape[2]
+    W = _core.init_w_hat(X, M, init_eig=False)  # identity (determined)
+    W = jax.lax.pcast(W, (AXIS_MIX, AXIS_BINS), to="varying")
+
+    def epoch(_, W):
+        return _core._epoch(
+            X, W, None, M, model,
+            axis_name=AXIS_BINS, n_freq=k_total, bin_mask=bin_mask,
+        )
+
+    return jax.lax.fori_loop(0, n_iter, epoch, W)
+
+
+@partial(jax.jit, static_argnames=("mesh", "n_iter", "model", "k_total"))
+def _sharded_sparse_ip(Xs, bin_mask, mesh, n_iter, model, k_total):
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(AXIS_MIX, None, AXIS_BINS, None), P(AXIS_BINS)),
+        out_specs=P(AXIS_MIX, AXIS_BINS, None, None),
+    )
+    def run(Xl, maskl):
+        return jax.vmap(
+            lambda x: _sparse_ip_one(x, maskl, n_iter, model, k_total)
+        )(Xl)
+
+    return run(Xs, bin_mask)
+
+
+def _sparse_rec_one(
+    X, Ws, S, bin_mask, F, nfft, n_causal, n_acausal, lasso_iter, lam_ratio,
+    polish_iter, model, proj_back,
+):
+    """Phase 2+3: LASSO reconstruction + warm polish on the local bins.
+
+    Ws/S arrive replicated (the one k-bin gather the algorithm needs —
+    VERDICT r2 item 1): the FISTA GEMMs run replicated per shard (they are
+    tiny), then each shard keeps only its local slice of the recovered
+    full-band RTFs, overwrites the measured bins that fall in its range,
+    inverts, and polishes with the standard single-psum IP epochs."""
+    T, Fl, M = X.shape
+    R_s = _sparse.sparse_rtfs(Ws)
+    g_full = _sparse.sparse_rtf_taps(
+        R_s, S, nfft, n_causal, n_acausal, lasso_iter, lam_ratio,
+        pvary_axes=(AXIS_MIX,),
+    )
+    R_rec = jnp.fft.rfft(g_full, axis=-1).astype(X.dtype)  # (M(M-1), F)
+    offset = jax.lax.axis_index(AXIS_BINS) * Fl
+    # padded local bins (global index >= F) replicate bin F-1, consistent
+    # with the replicate-padded X data
+    idx = jnp.clip(offset + jnp.arange(Fl), 0, F - 1)
+    R_loc = jnp.take(R_rec, idx, axis=1)
+    A_loc = jnp.concatenate(
+        [
+            jnp.ones((Fl, 1, M), X.dtype),
+            jnp.transpose(R_loc.reshape(M, M - 1, Fl), (2, 1, 0)),
+        ],
+        axis=1,
+    )
+    # measured bins verbatim: scatter the rows of R_s that fall locally
+    # (out-of-range rows land on a sacrificial row Fl and are sliced off)
+    local_S = S.astype(jnp.int32) - offset
+    valid = (local_S >= 0) & (local_S < Fl)
+    tgt = jnp.where(valid, local_S, Fl)
+    A_pad = jnp.concatenate([A_loc, jnp.zeros((1, M, M), X.dtype)], axis=0)
+    A_loc = A_pad.at[tgt].set(R_s.astype(X.dtype))[:Fl]
+    W = small_inv(A_loc)
+
+    def epoch(_, W):
+        return _core._epoch(
+            X, W, None, M, model,
+            axis_name=AXIS_BINS, n_freq=F, bin_mask=bin_mask,
+        )
+
+    W = jax.lax.fori_loop(0, polish_iter, epoch, W)
+    Y = _core.demix(X, W)
+    if proj_back:
+        Y = _proj.apply_projection_back(Y, X[:, :, 0])
+    return Y
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "F", "nfft", "n_causal", "n_acausal", "lasso_iter",
+        "polish_iter", "model", "proj_back",
+    ),
+)
+def _sharded_sparse_rec(
+    X, Ws, S, bin_mask, lam_ratio, mesh, F, nfft, n_causal, n_acausal,
+    lasso_iter, polish_iter, model, proj_back,
+):
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(AXIS_MIX, None, AXIS_BINS, None),
+            P(AXIS_MIX, None, None, None),
+            P(AXIS_MIX, None),
+            P(AXIS_BINS),
+        ),
+        out_specs=P(AXIS_MIX, None, AXIS_BINS, None),
+    )
+    def run(Xl, Wsl, Sl, maskl):
+        sep = lambda x, ws, s: _sparse_rec_one(
+            x, ws, s, maskl, F, nfft, n_causal, n_acausal, lasso_iter,
+            lam_ratio, polish_iter, model, proj_back,
+        )
+        return jax.vmap(sep)(Xl, Wsl, Sl)
+
+    return run(X, Ws, S, bin_mask)
+
+
+def sharded_sparseauxiva(
+    mesh,
+    X_batch,
+    S=None,
+    n_bins=None,
+    n_iter: int = 20,
+    model: str = "laplace",
+    lasso_iter: int = 300,
+    lasso_lam: float = 0.05,
+    filter_taps=None,
+    acausal_taps=None,
+    polish_iter: int = 3,
+    proj_back: bool = True,
+):
+    """SparseAuxIVA (determined) over the mesh. X_batch: (B, T, F, M)
+    complex; returns (B, T, F, M). Matches ``api.sparseauxiva`` per batch
+    element.
+
+    Comm design (SURVEY.md §2.4/§5.8): phase 1 runs IP on the selected-bin
+    slice, itself bin-sharded with the usual one power psum per epoch;
+    phase 2 gathers the k measured bins' demixing matrices to every shard
+    (one small (k, M, M) all-gather — inserted by XLA at the resharding
+    boundary between the two shard_map programs), runs the FISTA GEMMs
+    replicated, and keeps only local bins; phase 3 polish is the standard
+    single-psum epoch loop.
+
+    ``S``: (k,) shared or (B, k) per-element bin selection; defaults to
+    the stratified top-power selection computed per element."""
+    from ..oracle.sparseauxiva import _resolve_n_bins, select_bins
+
+    B, T, F, M = X_batch.shape
+    n_mix = mesh.shape[AXIS_MIX]
+    n_bins_shards = mesh.shape[AXIS_BINS]
+    if B % n_mix != 0:
+        raise ValueError(f"batch {B} not divisible by mix axis {n_mix}")
+    nfft = 2 * (F - 1)
+    n_causal = nfft // 4 if filter_taps is None else int(filter_taps)
+    n_acausal = nfft // 16 if acausal_taps is None else int(acausal_taps)
+
+    if S is None:
+        k = _resolve_n_bins(n_bins, F, M)
+        S_arr = np.stack(
+            [select_bins(np.asarray(X_batch[b]), k) for b in range(B)]
+        )
+    else:
+        S_arr = np.asarray(S, np.int64)
+        if S_arr.ndim == 1:
+            S_arr = np.tile(S_arr[None, :], (B, 1))
+        if S_arr.shape[0] != B:
+            raise ValueError("S must be (k,) or (B, k)")
+        if (
+            S_arr.shape[1] == 0
+            or S_arr.min() < 0
+            or S_arr.max() >= F
+            or np.any(np.diff(S_arr, axis=1) <= 0)
+        ):
+            raise ValueError(
+                "each S row must be strictly increasing bin indices < F"
+            )
+    k = S_arr.shape[1]
+    if k >= F:
+        raise ValueError("all bins selected: use sharded_overiva instead")
+
+    # ---- phase 1: IP on the selected bins, sharded over the k axis ----
+    k_pad, k_mask = pad_bins(k, n_bins_shards)
+    S_pad = np.concatenate(
+        [S_arr, np.tile(S_arr[:, -1:], (1, k_pad - k))], axis=1
+    )
+    Xs = jnp.take_along_axis(
+        X_batch, jnp.asarray(S_pad)[:, None, :, None], axis=2
+    )  # (B, T, k_pad, M)
+    W_all = _sharded_sparse_ip(
+        Xs, jnp.asarray(k_mask), mesh, int(n_iter), model, int(k)
+    )
+    Ws = W_all[:, :k]  # (B, k, M, M)
+
+    # ---- phases 2+3: reconstruction + polish on the full bin axis ----
+    F_pad, mask = pad_bins(F, n_bins_shards)
+    if F_pad != F:
+        reps = jnp.repeat(X_batch[:, :, -1:, :], F_pad - F, axis=2)
+        X_batch = jnp.concatenate([X_batch, reps], axis=2)
+    rdtype = np.float32 if X_batch.dtype == jnp.complex64 else np.float64
+    Y = _sharded_sparse_rec(
+        X_batch, Ws, jnp.asarray(S_arr, jnp.int32), jnp.asarray(mask),
+        jnp.asarray(lasso_lam, rdtype), mesh, int(F), int(nfft),
+        int(n_causal), int(n_acausal), int(lasso_iter), int(polish_iter),
+        model, bool(proj_back),
+    )
+    return Y[:, :, :F, :]

@@ -131,3 +131,55 @@ def test_sharded_fastmnmf1_matches_single_device(batch):
             batch[b], n_src=2, n_iter=5, seed=7 + b, dtype=np.complex128
         )
         np.testing.assert_allclose(Y[b], Yref, rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+def test_sharded_five_matches_single_device(batch, mesh_shape):
+    from overiva_tpu import api
+    from overiva_tpu.parallel.sharded import sharded_five
+
+    mesh = make_mesh(*mesh_shape, devices=jax.devices()[: mesh_shape[0] * mesh_shape[1]])
+    Y = np.asarray(sharded_five(mesh, jnp.asarray(batch), n_iter=6))
+    for b in range(batch.shape[0]):
+        Yref = api.five(batch[b], n_iter=6, dtype=np.complex128)
+        np.testing.assert_allclose(Y[b], Yref, rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+def test_sharded_sparseauxiva_matches_single_device(batch, mesh_shape):
+    """Subset-IP sharded over the selected-bin axis, FISTA replicated after
+    the k-bin gather, polish on the full-bin axis — must equal the
+    single-device api.sparseauxiva trajectory (VERDICT r2 item 1)."""
+    from overiva_tpu import api
+    from overiva_tpu.parallel.sharded import sharded_sparseauxiva
+
+    mesh = make_mesh(*mesh_shape, devices=jax.devices()[: mesh_shape[0] * mesh_shape[1]])
+    Y = np.asarray(
+        sharded_sparseauxiva(
+            mesh, jnp.asarray(batch), n_iter=5, lasso_iter=40, polish_iter=2
+        )
+    )
+    for b in range(batch.shape[0]):
+        Yref = api.sparseauxiva(
+            batch[b], n_iter=5, lasso_iter=40, polish_iter=2,
+            dtype=np.complex128,
+        )
+        np.testing.assert_allclose(Y[b], Yref, rtol=1e-6, atol=1e-8)
+
+
+def test_sharded_sparseauxiva_explicit_s_and_validation(batch):
+    from overiva_tpu.parallel.sharded import sharded_sparseauxiva
+
+    mesh = make_mesh(2, 4)
+    F = batch.shape[2]
+    with pytest.raises(ValueError, match="all bins"):
+        sharded_sparseauxiva(mesh, jnp.asarray(batch), S=np.arange(F))
+    with pytest.raises(ValueError, match="increasing"):
+        sharded_sparseauxiva(mesh, jnp.asarray(batch), S=np.array([5, 3, 9]))
+    Y = np.asarray(
+        sharded_sparseauxiva(
+            mesh, jnp.asarray(batch), S=np.arange(0, F, 4), n_iter=3,
+            lasso_iter=20, polish_iter=1,
+        )
+    )
+    assert Y.shape == batch.shape and np.isfinite(Y).all()
