@@ -142,3 +142,28 @@ def test_auxiva_pca_pipeline():
         # phase-aligned deterministically in both backends
     )
     assert np.min(sir) > 6.0, sir
+
+
+@pytest.mark.parametrize("model,seed", [
+    ("gauss", 104), ("gauss", 212), ("laplace", 102),
+])
+def test_same_precision_parity_gate(model, seed):
+    """oracle-c64 vs JAX-c64 at 0.02 dB (VERDICT r2 item 3): the 0.1 dB
+    c64-vs-f64 gate has only ~0.013 dB of implementation headroom left on
+    overiva-gauss (the rest is the intrinsic precision floor, PARITY.md
+    round-2 decomposition), so implementation drift is gated here at the
+    SAME precision, where it cannot hide inside the c64 rounding cost."""
+    rng = np.random.default_rng(seed)
+    mix, premix, _ = make_mixture(
+        rng, n_src=2, n_mics=5, n_samples=24000,
+        snr_db=20 if model == "gauss" else 25,
+    )
+    parity_case(
+        mix, premix,
+        lambda X: oracle.overiva(
+            X.astype(np.complex64), n_src=2, n_iter=20, model=model
+        ),
+        lambda X: api.overiva(X, n_src=2, n_iter=20, model=model),
+        nfft=256,
+        tol=0.02,
+    )
