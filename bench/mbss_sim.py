@@ -107,7 +107,77 @@ def simulate_instance(cfg: dict, seed: int, n_mics: int, n_src: int, rt60: float
     )
     premix, noise = room.simulate(return_premix=True, snr=snr)
     mix = (premix.sum(axis=0) + noise).T
-    return mix, premix
+    # fixed length (exactly `duration` seconds): the raw convolution length
+    # varies with each room's RIR tail, which would give every instance its
+    # own STFT shape — static shapes keep one compiled program per
+    # (n_mics, n_src) cell and make same-shape batching possible
+    # (DESIGN.md rules; XLA recompiles per shape)
+    return mix[:n], premix[:, :, :n]
+
+
+class _InstanceEval:
+    """Per-instance evaluation context: shared reference-side Gram
+    factorizations (BssEvalReferences) across every algorithm of the
+    instance; single-output algorithms score against estimate-dependent
+    (target, rest) pairs, cached per target."""
+
+    def __init__(self, mix, premix, n_src):
+        self.mix = mix
+        self.n_src = n_src
+        self.refs = premix[:, 0, : mix.shape[0]]
+        self.ev = BssEvalReferences(self.refs) if n_src > 1 else None
+        self.pair_evs = {}
+        if n_src > 1:
+            self.sdr_mix, self.sir_mix, _, _ = self.ev.evaluate(
+                np.tile(mix[:, 0], (n_src, 1))
+            )
+        else:
+            self.sdr_mix = np.array([0.0])
+            self.sir_mix = np.array([0.0])
+
+    def score(self, Y, runtime, nfft):
+        """Separated STFT -> the per-algorithm result dict."""
+        hop = nfft // 2
+        mix, refs, n_src = self.mix, self.refs, self.n_src
+        y = api.stft_synthesis(Y, nfft)[nfft - hop :][: mix.shape[0]]
+        if Y.shape[2] == n_src and n_src > 1:
+            # reference-ordered rows (mir_eval convention), so the mix
+            # scores (also reference-ordered) align without perm indexing
+            sdr, sir, sar, perm = self.ev.evaluate(y.T)
+            return {
+                "runtime": runtime,
+                "sdr": sdr.tolist(),
+                "sir": sir.tolist(),
+                "sdr_improvement": (sdr - self.sdr_mix).tolist(),
+                "sir_improvement": (sir - self.sir_mix).tolist(),
+            }
+        # single output (ogive / five or n_src == 1)
+        best = max(
+            range(refs.shape[0]),
+            key=lambda j: abs(np.dot(refs[j], y[:, 0])),
+        )
+        est = (
+            np.stack([y[:, 0], mix[:, 0] - y[:, 0]])
+            if refs.shape[0] > 1
+            else y.T[:1]
+        )
+        if best not in self.pair_evs:
+            pair = (
+                np.stack([refs[best], refs.sum(0) - refs[best]])
+                if refs.shape[0] > 1
+                else refs[:1]
+            )
+            self.pair_evs[best] = BssEvalReferences(pair)
+        sdr, sir, _, _ = self.pair_evs[best].evaluate(
+            est, compute_permutation=False
+        )
+        return {
+            "runtime": runtime,
+            "sdr": [float(sdr[0])],
+            # N=1 instances have no interference: SIR is +inf and
+            # meaningless — such rows are scored by SDR only
+            "sir": [float(sir[0])] if np.isfinite(sir[0]) else [],
+        }
 
 
 def one_instance(cfg, seed, n_mics, n_src, rt60, snr, simulated=None):
@@ -117,15 +187,7 @@ def one_instance(cfg, seed, n_mics, n_src, rt60, snr, simulated=None):
     mix, premix = simulated or simulate_instance(cfg, seed, n_mics, n_src, rt60, snr)
 
     X = api.stft_analysis(stft_pad(mix, nfft, hop), nfft)
-    refs = premix[:, 0, : mix.shape[0]]
-    # reference-side Gram factorizations are shared across every algorithm
-    # of the instance (BssEvalReferences); single-output algorithms score
-    # against estimate-dependent (target, rest) pairs, cached per target
-    ev = BssEvalReferences(refs) if n_src > 1 else None
-    pair_evs = {}
-    sdr_mix, sir_mix, _, _ = ev.evaluate(
-        np.tile(mix[:, 0], (n_src, 1))
-    ) if n_src > 1 else (np.array([0.0]), np.array([0.0]), None, None)
+    ev = _InstanceEval(mix, premix, n_src)
 
     results = {}
     for name, params in cfg["algos"].items():
@@ -135,47 +197,63 @@ def one_instance(cfg, seed, n_mics, n_src, rt60, snr, simulated=None):
             if Y is None:
                 continue
             runtime = time.perf_counter() - t0
-            y = api.stft_synthesis(Y, nfft)[nfft - hop :][: mix.shape[0]]
-            if Y.shape[2] == n_src and n_src > 1:
-                # reference-ordered rows (mir_eval convention), so the mix
-                # scores (also reference-ordered) align without perm indexing
-                sdr, sir, sar, perm = ev.evaluate(y.T)
-                results[name] = {
-                    "runtime": runtime,
-                    "sdr": sdr.tolist(),
-                    "sir": sir.tolist(),
-                    "sdr_improvement": (sdr - sdr_mix).tolist(),
-                    "sir_improvement": (sir - sir_mix).tolist(),
-                }
-            else:  # single output (ogive or n_src == 1)
-                best = max(
-                    range(refs.shape[0]),
-                    key=lambda j: abs(np.dot(refs[j], y[:, 0])),
-                )
-                est = (
-                    np.stack([y[:, 0], mix[:, 0] - y[:, 0]])
-                    if refs.shape[0] > 1
-                    else y.T[:1]
-                )
-                if best not in pair_evs:
-                    pair = (
-                        np.stack([refs[best], refs.sum(0) - refs[best]])
-                        if refs.shape[0] > 1
-                        else refs[:1]
-                    )
-                    pair_evs[best] = BssEvalReferences(pair)
-                sdr, sir, _, _ = pair_evs[best].evaluate(
-                    est, compute_permutation=False
-                )
-                results[name] = {
-                    "runtime": runtime,
-                    "sdr": [float(sdr[0])],
-                    # N=1 instances have no interference: SIR is +inf and
-                    # meaningless — such rows are scored by SDR only
-                    "sir": [float(sir[0])] if np.isfinite(sir[0]) else [],
-                }
+            results[name] = ev.score(Y, runtime, nfft)
         except Exception as e:  # a failed algo shouldn't kill the instance
             results[name] = {"error": f"{type(e).__name__}: {e}"}
+    return results
+
+
+def _batch_params(spec, params, B):
+    """Adapt per-instance params for a batched call: seed-consuming
+    families take an explicit per-element ``seeds`` list so every element
+    reproduces its single-instance run exactly."""
+    import inspect
+
+    params = dict(params)
+    if "seeds" in inspect.signature(spec.batch).parameters:
+        if "seeds" not in params:
+            params["seeds"] = [params.pop("seed", 0)] * B
+    return params
+
+
+def batch_instances(cfg, group, simulated):
+    """Run every applicable algorithm on a same-shape instance group in ONE
+    fused batched XLA program per algorithm (SURVEY.md §3.4's fan-out,
+    accelerator-side: the reference fans out with a process pool; here the
+    batch axis is a vmap inside the program). Per-element results are
+    identical to one_instance's (registry batch contract,
+    tests/test_batch_api.py); reported runtime is the batch wall divided
+    by the group size.
+
+    group: list of (seed, n_mics, n_src, rt60, snr) sharing (n_mics,
+    n_src); simulated: matching list of (mix, premix). Returns one results
+    dict per instance."""
+    nfft = cfg["nfft"]
+    hop = nfft // 2
+    B = len(group)
+    n_src, n_mics = group[0][2], group[0][1]
+    X = np.stack(
+        [api.stft_analysis(stft_pad(m, nfft, hop), nfft) for m, _ in simulated]
+    )
+    evs = [
+        _InstanceEval(mix, premix, n_src) for mix, premix in simulated
+    ]
+
+    results = [dict() for _ in range(B)]
+    for name, params in cfg["algos"].items():
+        if not applicable(name, n_src, n_mics):
+            continue
+        spec = get_algorithm(name)
+        try:
+            t0 = time.perf_counter()
+            Yb = spec.run_batch(X, n_src=n_src, **_batch_params(spec, params, B))
+            runtime = (time.perf_counter() - t0) / B
+            for b in range(B):
+                results[b][name] = evs[b].score(Yb[b], runtime, nfft)
+                results[b][name]["batched"] = B
+        except Exception as e:  # a failed algo marks the whole group
+            for b in range(B):
+                results[b][name] = {"error": f"{type(e).__name__}: {e}"}
     return results
 
 
@@ -183,12 +261,19 @@ def instance_key(seed, n_mics, n_src, rt60, snr):
     return f"s{seed}_m{n_mics}_n{n_src}_rt{rt60}_snr{snr}"
 
 
-def sweep(cfg: dict, out_dir: Path, prefetch: int = 2):
+def sweep(cfg: dict, out_dir: Path, prefetch: int = 2, batch: int | None = None):
     """Run the sweep. Room simulation (CPU) is prefetched on worker threads
     so it overlaps with TPU separation — the TPU-native analog of the
     reference's multiprocessing pool (SURVEY.md §3.4: there, every worker
     was a full pipeline; here the accelerator is the serial resource and the
-    CPU work hides behind it)."""
+    CPU work hides behind it).
+
+    Same-shape instances (same n_mics, n_src; T and F are sweep-constant)
+    are grouped into chunks of up to ``batch`` (config key "batch",
+    default 8) and separated through the fused ``*_batch`` programs — one
+    accelerator dispatch per algorithm per chunk instead of per instance.
+    Per-instance JSONs and resume-by-skip are unchanged; ``batch=1``
+    reproduces the one-at-a-time path exactly."""
     import queue
     import threading
 
@@ -206,34 +291,63 @@ def sweep(cfg: dict, out_dir: Path, prefetch: int = 2):
         g for g in grid if not (out_dir / f"{instance_key(*g)}.json").exists()
     ]
     skipped = len(grid) - len(todo)
+    cap = int(batch if batch is not None else cfg.get("batch", 8))
 
-    q: queue.Queue = queue.Queue(maxsize=max(prefetch, 1))
+    # group by algorithm-relevant shape (n_mics, n_src), preserve order
+    by_shape: dict[tuple, list] = {}
+    for g in todo:
+        by_shape.setdefault((g[1], g[2]), []).append(g)
+    chunks = [
+        grp[i : i + cap]
+        for grp in by_shape.values()
+        for i in range(0, len(grp), cap)
+    ]
+    order = [g for chunk in chunks for g in chunk]  # producer order
+
+    q: queue.Queue = queue.Queue(maxsize=max(prefetch, 1) + cap - 1)
 
     def producer():
-        for g in todo:
-            q.put((g, simulate_instance(cfg, *g)))
+        for g in order:
+            q.put(simulate_instance(cfg, *g))
         q.put(None)
 
     threading.Thread(target=producer, daemon=True).start()
 
     done = 0
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        g, simulated = item
-        seed, n_mics, n_src, rt60, snr = g
-        key = instance_key(*g)
+    for chunk in chunks:
+        simulated = [q.get() for _ in chunk]
+        n_real = len(chunk)
+        run_chunk, run_sim = chunk, simulated
+        # pad partial chunks up to the cap when this cell already needs the
+        # cap-sized program anyway: ONE batch shape per (n_mics, n_src)
+        # cell per algorithm (a fresh program compile on the TPU tunnel
+        # costs minutes; a padded batch lane costs microseconds)
+        grp_len = len(by_shape[(chunk[0][1], chunk[0][2])])
+        if n_real < cap and grp_len > cap:
+            idx = [i % n_real for i in range(cap - n_real)]
+            run_chunk = chunk + [chunk[i] for i in idx]
+            run_sim = simulated + [simulated[i] for i in idx]
         t0 = time.perf_counter()
-        results = one_instance(cfg, *g, simulated=simulated)
-        record = {
-            "seed": seed, "n_mics": n_mics, "n_src": n_src,
-            "rt60": rt60, "snr": snr,
-            "wall": time.perf_counter() - t0, "results": results,
-        }
-        (out_dir / f"{key}.json").write_text(json.dumps(record))
-        done += 1
-        print(f"[{done}/{len(todo)}] {key}  ({record['wall']:.1f}s)", flush=True)
+        if len(run_chunk) == 1:
+            all_results = [one_instance(cfg, *chunk[0], simulated=simulated[0])]
+        else:
+            all_results = batch_instances(cfg, run_chunk, run_sim)[:n_real]
+        wall = (time.perf_counter() - t0) / n_real
+        for g, results in zip(chunk, all_results):
+            seed, n_mics, n_src, rt60, snr = g
+            key = instance_key(*g)
+            record = {
+                "seed": seed, "n_mics": n_mics, "n_src": n_src,
+                "rt60": rt60, "snr": snr,
+                "wall": wall, "results": results,
+            }
+            (out_dir / f"{key}.json").write_text(json.dumps(record))
+            done += 1
+            print(
+                f"[{done}/{len(todo)}] {key}  ({wall:.1f}s/inst, "
+                f"batch {len(chunk)})",
+                flush=True,
+            )
     print(f"sweep complete: {done} new, {skipped} skipped (resumed)")
 
 
@@ -246,12 +360,20 @@ def aggregate(out_dir: Path, plot: bool = False):
                 continue
             sir = np.asarray(res.get("sir", []), dtype=float)
             sir = sir[np.isfinite(sir)]  # N=1 rows carry no SIR (see above)
+
+            def _mean(key):
+                v = np.asarray(res.get(key, []), dtype=float)
+                v = v[np.isfinite(v)]
+                return float(np.mean(v)) if v.size else float("nan")
+
             rows.append(
                 {
                     "algo": algo, "n_mics": rec["n_mics"], "n_src": rec["n_src"],
                     "rt60": rec["rt60"], "snr": rec["snr"],
                     "sdr": float(np.mean(res["sdr"])),
                     "sir": float(np.mean(sir)) if sir.size else float("nan"),
+                    "sdr_improvement": _mean("sdr_improvement"),
+                    "sir_improvement": _mean("sir_improvement"),
                     "runtime": res["runtime"],
                 }
             )
@@ -274,12 +396,26 @@ def aggregate(out_dir: Path, plot: bool = False):
         matplotlib.use("Agg")
         import seaborn as sns
 
-        g = sns.catplot(
-            data=df, x="n_mics", y="sir", hue="algo", col="n_src",
-            kind="box", sharey=False,
-        )
-        g.savefig(out_dir / "sir_vs_mics.png", dpi=120)
-        print(f"plot written to {out_dir/'sir_vs_mics.png'}")
+        # the reference's mbss_sim_plot.py figure set (SURVEY.md §2.1):
+        # raw SIR, Delta-SDR/Delta-SIR improvement distributions, runtime
+        figures = [
+            ("sir", "box", "sir_vs_mics.png"),
+            ("sdr_improvement", "box", "sdr_improvement_vs_mics.png"),
+            ("sir_improvement", "box", "sir_improvement_vs_mics.png"),
+            ("runtime", "point", "runtime_vs_mics.png"),
+        ]
+        for metric, kind, fname in figures:
+            sub = df.dropna(subset=[metric])
+            if sub.empty:
+                continue
+            g = sns.catplot(
+                data=sub, x="n_mics", y=metric, hue="algo", col="n_src",
+                kind=kind, sharey=False,
+            )
+            if metric == "runtime":
+                g.set(yscale="log")
+            g.savefig(out_dir / fname, dpi=120)
+            print(f"plot written to {out_dir/fname}")
 
 
 def main(argv=None):
@@ -288,6 +424,11 @@ def main(argv=None):
     p.add_argument("--out", type=str, default="data/sweep")
     p.add_argument("--aggregate", type=str, default=None, metavar="DIR")
     p.add_argument("--plot", action="store_true")
+    p.add_argument(
+        "--batch", type=int, default=None,
+        help="max same-shape instances per fused batched program "
+        "(default: config key 'batch' or 8; 1 = one-at-a-time)",
+    )
     args = p.parse_args(argv)
 
     if args.aggregate:
@@ -296,7 +437,7 @@ def main(argv=None):
     cfg = dict(DEFAULT_CONFIG)
     if args.config:
         cfg.update(json.loads(Path(args.config).read_text()))
-    sweep(cfg, Path(args.out))
+    sweep(cfg, Path(args.out), batch=args.batch)
 
 
 if __name__ == "__main__":

@@ -79,7 +79,24 @@ def main(argv=None):
         "--monitor", type=str, default=None, metavar="PNG",
         help="record per-iteration SDR/SIR via the callback and plot to PNG",
     )
+    p.add_argument(
+        "--spectrogram", type=str, default=None, metavar="PNG",
+        help="mixture + separated-output spectrogram panel (the reference "
+        "example.py figure)",
+    )
+    p.add_argument(
+        "--report", type=str, default=None, metavar="DIR",
+        help="write an HTML listening report (audio players for mix + "
+        "separated outputs, metrics table, figures) — the headless "
+        "stand-in for the reference's PlaySoundGUI audition loop",
+    )
     args = p.parse_args(argv)
+    if args.report:
+        rep = Path(args.report)
+        rep.mkdir(parents=True, exist_ok=True)
+        args.save = args.save or str(rep)
+        args.monitor = args.monitor or str(rep / "convergence.png")
+        args.spectrogram = args.spectrogram or str(rep / "spectrogram.png")
 
     rng = np.random.default_rng(args.seed)
     n = int(args.duration * args.fs)
@@ -130,6 +147,7 @@ def main(argv=None):
     y = y[start : start + mix.shape[0]]
 
     refs = premix[:, 0, : mix.shape[0]]
+    metric_rows = []  # (label, SDR, SIR, mix SDR, mix SIR) for the report
     if n_out == args.srcs:
         sdr, sir, sar, perm = bss_eval_sources(refs, y.T)
         sdr0, sir0, _, _ = bss_eval_sources(
@@ -143,6 +161,10 @@ def main(argv=None):
                 f"(mix {sdr0[j]:6.2f})  SIR {sir[j]:6.2f} dB "
                 f"(mix {sir0[j]:6.2f})"
             )
+            metric_rows.append(
+                (f"src {j} &larr; out {perm[j]}", sdr[j], sir[j],
+                 sdr0[j], sir0[j])
+            )
     else:
         best = max(range(args.srcs), key=lambda j: abs(np.dot(refs[j], y[:, 0])))
         pair = np.stack([refs[best], refs.sum(0) - refs[best]])
@@ -150,6 +172,10 @@ def main(argv=None):
         sdr, sir, _, _ = bss_eval_sources(pair, est, compute_permutation=False)
         print(f"\n{args.algo}: {dt:.2f}s  extracted src {best}: "
               f"SDR {sdr[0]:.2f} dB  SIR {sir[0]:.2f} dB")
+        metric_rows.append(
+            (f"extracted src {best}", sdr[0], sir[0], float("nan"),
+             float("nan"))
+        )
 
     if recorder is not None and recorder.sdr:
         import matplotlib
@@ -172,6 +198,36 @@ def main(argv=None):
         fig.savefig(args.monitor, dpi=120)
         print(f"convergence plot -> {args.monitor}")
 
+    if args.spectrogram:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        def db(S):
+            return 20.0 * np.log10(np.abs(S).T + 1e-7)
+
+        panels = [("mixture (mic 0)", X[:, :, 0])] + [
+            (f"output {k}", Y[:, :, k]) for k in range(n_out)
+        ]
+        fig, axes = plt.subplots(
+            1, len(panels), figsize=(4 * len(panels), 3.6), sharey=True
+        )
+        axes = np.atleast_1d(axes)
+        vmax = db(X[:, :, 0]).max()
+        for ax, (title, S) in zip(axes, panels):
+            ax.imshow(
+                db(S), origin="lower", aspect="auto", cmap="inferno",
+                vmax=vmax, vmin=vmax - 70,
+                extent=(0, args.duration, 0, args.fs / 2000.0),
+            )
+            ax.set_title(title)
+            ax.set_xlabel("time (s)")
+        axes[0].set_ylabel("frequency (kHz)")
+        fig.tight_layout()
+        fig.savefig(args.spectrogram, dpi=120)
+        print(f"spectrogram panel -> {args.spectrogram}")
+
     if args.save:
         from scipy.io import wavfile
 
@@ -184,6 +240,46 @@ def main(argv=None):
             wavfile.write(out / f"sep_{k}.wav", args.fs,
                           (y[:, k] / norm * 0.9 * 32767).astype(np.int16))
         print(f"wavs written to {out}/")
+
+    if args.report:
+        rep = Path(args.report)
+        rows = "\n".join(
+            f"<tr><td>{label}</td><td>{s:.2f}</td><td>{si:.2f}</td>"
+            f"<td>{s0:.2f}</td><td>{si0:.2f}</td></tr>"
+            for label, s, si, s0, si0 in metric_rows
+        )
+        players = "\n".join(
+            f"<p><b>output {k}</b><br>"
+            f"<audio controls src='sep_{k}.wav'></audio></p>"
+            for k in range(n_out)
+        )
+        figures = "".join(
+            f"<img src='{Path(p).name}' style='max-width:100%'>"
+            for p in (args.spectrogram, args.monitor)
+            if p and Path(p).exists()
+        )
+        html = f"""<!doctype html>
+<html><head><meta charset="utf-8"><title>overiva_tpu listening report</title>
+<style>body{{font-family:sans-serif;max-width:60em;margin:2em auto}}
+table{{border-collapse:collapse}}td,th{{border:1px solid #999;padding:4px 10px}}
+</style></head><body>
+<h1>Listening report — {args.algo}</h1>
+<p>{args.mics} mics, {args.srcs} sources, RT60 {args.rt60} s, SNR
+{args.snr} dB, nfft {args.nfft}, {args.n_iter} iterations, seed
+{args.seed}; separation wall time {dt:.2f} s.</p>
+<h2>Audition</h2>
+<p><b>mixture (mic 0)</b><br><audio controls src='mix.wav'></audio></p>
+{players}
+<h2>Metrics (bss_eval, dB)</h2>
+<table><tr><th>pair</th><th>SDR</th><th>SIR</th><th>mix SDR</th>
+<th>mix SIR</th></tr>
+{rows}</table>
+<h2>Figures</h2>
+{figures}
+</body></html>
+"""
+        (rep / "index.html").write_text(html)
+        print(f"listening report -> {rep/'index.html'}")
 
 
 if __name__ == "__main__":

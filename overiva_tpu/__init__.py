@@ -55,6 +55,8 @@ _API = {
     "fastmnmf_batch": "api",
     "fastmnmf2_batch": "api",
     "sparseauxiva_batch": "api",
+    "ilrma_batch": "api",
+    "auxiva_pca_batch": "api",
     "OnlineAuxIVAISS": "api",
     "stft_analysis": "api",
     "stft_synthesis": "api",

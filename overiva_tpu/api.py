@@ -68,6 +68,8 @@ __all__ = [
     "fastmnmf_batch",
     "fastmnmf2_batch",
     "sparseauxiva_batch",
+    "ilrma_batch",
+    "auxiva_pca_batch",
 ]
 
 DEFAULT_DTYPE = np.complex64
@@ -679,19 +681,32 @@ class OnlineAuxIVAISS:
     ...     y_blk = sep.process(X_blk)
 
     State lives on device; blocks must share the same shape (one compile).
+
+    ``ramp``: forgetting-factor scheduling (RLS-style warm-up: growing
+    uniform window, then exponential forgetting). Measured NEUTRAL-to-
+    negative on stationary scenes — the zero-initialized statistics
+    already act as a growing window — so it defaults off; see
+    ``models.online_iss.online_iss_step`` for the A/B numbers.
+    ``pb_forget``: separate forgetting for the projection-back scale
+    statistics (closer to 1 smooths the per-block output scale without
+    slowing demixing adaptation; 0.9995 measured mildly positive).
     """
 
     def __init__(self, n_freq, n_chan, forget=0.97, model="laplace",
-                 n_pass=1, dtype=None):
+                 n_pass=1, ramp=False, pb_forget=None, dtype=None):
         from .models.online_iss import online_iss_init
 
         self.model = model
         self.n_pass = int(n_pass)
+        self.ramp = bool(ramp)
         cdtype = np.dtype(dtype or DEFAULT_DTYPE)
         self._rdtype = real_dtype_of(cdtype)
         jdtype = jnp.complex64 if cdtype == np.complex64 else jnp.complex128
         self.state = online_iss_init(int(n_freq), int(n_chan), jdtype)
         self.forget = jnp.asarray(forget, self._rdtype)
+        self.pb_forget = (
+            None if pb_forget is None else jnp.asarray(pb_forget, self._rdtype)
+        )
         self._cdtype = cdtype
 
     def process(self, X_blk) -> np.ndarray:
@@ -701,7 +716,8 @@ class OnlineAuxIVAISS:
 
         Xd = _to_device(np.asarray(X_blk), self._cdtype)
         Y, self.state = online_iss_step(
-            Xd, self.state, self.forget, self.model, self.n_pass
+            Xd, self.state, self.forget, self.model, self.n_pass,
+            ramp=self.ramp, pb_forget=self.pb_forget,
         )
         re, im = _split(Y)
         return merge_np(np.asarray(re), np.asarray(im))
@@ -1295,13 +1311,16 @@ def fastmnmf2_batch(
     init="whiten",
     n_noise="auto",
     seed=0,
+    seeds=None,
     dtype=None,
     tie_g=True,
 ):
     """Batch of same-shape mixtures through FastMNMF2 in ONE fused XLA
     program. X: (batch, T, F, M) -> (batch, T, F, n_src). Element b's NMF
-    init matches ``fastmnmf2(X[b], seed=seed + b)``. ``tie_g=False``
-    selects FastMNMF1 (see :func:`fastmnmf`).
+    init matches ``fastmnmf2(X[b], seed=seed + b)`` — or ``seed=seeds[b]``
+    when an explicit per-element ``seeds`` sequence is given (the sweep
+    harness uses ``seeds=[s]*B`` to reproduce its single-instance runs
+    exactly). ``tie_g=False`` selects FastMNMF1 (see :func:`fastmnmf`).
     """
     X = np.asarray(X)
     B, T, F, M = X.shape
@@ -1322,10 +1341,14 @@ def fastmnmf2_batch(
     g /= g.sum(axis=1, keepdims=True)
     if not tie_g:  # FastMNMF1: free per-frequency spatial weights
         g = np.tile(g[:, None, :], (1, F, 1))
+    if seeds is None:
+        seeds = [seed + b for b in range(B)]
+    if len(seeds) != B:
+        raise ValueError(f"seeds must have batch length {B}")
     W = np.empty((B, N, F, n_components), rdtype)
     H = np.empty((B, N, n_components, T), rdtype)
     for b in range(B):
-        rng = np.random.default_rng(seed + b)
+        rng = np.random.default_rng(seeds[b])
         W[b] = (rng.random((N, F, n_components)) + 0.1).astype(rdtype)
         H[b] = (rng.random((N, n_components, T)) + 0.1).astype(rdtype)
 
@@ -1565,4 +1588,129 @@ def five_batch(X, n_iter=10, proj_back=True, model="laplace", dtype=None):
     X = np.asarray(X)
     Xd = _to_device(X, np.dtype(dtype or DEFAULT_DTYPE))
     re, im = _five_batch_jit(Xd, int(n_iter), model, bool(proj_back))
+    return merge_np(np.asarray(re), np.asarray(im))
+
+
+@partial(
+    jax.jit, static_argnames=("n_iter", "proj_back", "wcov")
+)
+def _ilrma_batch_jit(X, B0, H0, n_iter, proj_back, wcov):
+    from .models.ilrma import ilrma_iterations
+    from .ops.projection import apply_projection_back
+
+    M = X.shape[3]
+
+    def one(Xb, Bb, Hb):
+        W = jnp.broadcast_to(jnp.eye(M, dtype=Xb.dtype), (Xb.shape[1], M, M))
+        W, _, _ = ilrma_iterations(Xb, W, Bb, Hb, n_iter, wcov)
+        Y = _core.demix(Xb, W)
+        if proj_back:
+            Y = apply_projection_back(Y, Xb[:, :, 0])
+        return Y
+
+    Y = jax.vmap(one)(X, B0, H0)
+    return jnp.real(Y), jnp.imag(Y)
+
+
+def ilrma_batch(
+    X,
+    n_src=None,
+    n_iter=20,
+    proj_back=True,
+    n_components=2,
+    seed=0,
+    seeds=None,
+    dtype=None,
+    wcov="f32",
+):
+    """Batch of same-shape mixtures through ILRMA in ONE fused XLA program.
+
+    X: (batch, T, F, M) -> (batch, T, F, M). Element b's NMF init matches
+    ``ilrma(X[b], seed=seed + b)`` — or ``seed=seeds[b]`` when an explicit
+    per-element ``seeds`` sequence is given (the sweep harness uses
+    ``seeds=[s]*B`` to reproduce its single-instance runs exactly)."""
+    X = np.asarray(X)
+    B, T, F, M = X.shape
+    N = M if n_src is None else int(n_src)
+    if N != M:
+        raise ValueError("ilrma is determined: n_src must equal n_chan")
+    if str(wcov) not in ("f32", "bf16"):
+        raise ValueError(f"wcov must be 'f32' or 'bf16', got {wcov!r}")
+    cdtype = np.dtype(dtype or DEFAULT_DTYPE)
+    rdtype = real_dtype_of(cdtype)
+    if seeds is None:
+        seeds = [seed + b for b in range(B)]
+    if len(seeds) != B:
+        raise ValueError(f"seeds must have batch length {B}")
+
+    B0 = np.empty((B, N, F, n_components), rdtype)
+    H0 = np.empty((B, N, n_components, T), rdtype)
+    for b in range(B):
+        rng = np.random.default_rng(seeds[b])
+        B0[b] = (rng.random((N, F, n_components)) + 0.1).astype(rdtype)
+        H0[b] = (rng.random((N, n_components, T)) + 0.1).astype(rdtype)
+
+    Xd = _to_device(X, cdtype)
+    re, im = _ilrma_batch_jit(
+        Xd, jnp.asarray(B0), jnp.asarray(H0), int(n_iter), bool(proj_back),
+        str(wcov),
+    )
+    return merge_np(np.asarray(re), np.asarray(im))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_src", "n_iter", "model", "inner", "proj_back"),
+)
+def _auxiva_pca_batch_jit(X, n_src, n_iter, model, inner, proj_back):
+    from .models.auxiva_iss import _iss_epoch
+    from .models.overiva import overiva_run
+    from .ops.projection import apply_projection_back
+
+    M = X.shape[3]
+
+    def one(Xb):
+        Xr = _pca_mod.pca(Xb, n_src, False) if n_src < M else Xb
+        if inner == "ip":
+            Y, _ = overiva_run(Xr, n_src, n_iter, model)
+        else:  # iss
+            W = jnp.broadcast_to(
+                jnp.eye(n_src, dtype=Xb.dtype), (Xb.shape[1], n_src, n_src)
+            )
+            Y0 = _core.demix(Xr, W)
+            _, Y = jax.lax.fori_loop(
+                0, n_iter, lambda _, s: _iss_epoch(Xr, s, model), (W, Y0)
+            )
+        if proj_back:
+            # against the ORIGINAL mic 0, like the reference auxiva_pca
+            Y = apply_projection_back(Y, Xb[:, :, 0])
+        return Y
+
+    Y = jax.vmap(one)(X)
+    return jnp.real(Y), jnp.imag(Y)
+
+
+def auxiva_pca_batch(
+    X,
+    n_src=None,
+    n_iter=20,
+    proj_back=True,
+    model="laplace",
+    inner="ip",
+    dtype=None,
+):
+    """Batch of same-shape mixtures through PCA+AuxIVA in ONE fused XLA
+    program. X: (batch, T, F, M) -> (batch, T, F, n_src); projection back
+    is against the original mic 0 (see :func:`auxiva_pca`)."""
+    X = np.asarray(X)
+    B, T, F, M = X.shape
+    N = M if n_src is None else int(n_src)
+    if not 1 <= N <= M:
+        raise ValueError("need 1 <= n_src <= n_chan")
+    if inner not in ("ip", "iss"):
+        raise ValueError(f"inner must be 'ip' or 'iss', got {inner!r}")
+    Xd = _to_device(X, np.dtype(dtype or DEFAULT_DTYPE))
+    re, im = _auxiva_pca_batch_jit(
+        Xd, N, int(n_iter), model, inner, bool(proj_back)
+    )
     return merge_np(np.asarray(re), np.asarray(im))

@@ -25,7 +25,10 @@ class AlgorithmSpec:
 
     determined: requires n_src == n_chan. single_output: always extracts one
     source. min_src: smallest supported n_src (IP2 needs pairs).
-    defaults: reference-matching default kwargs.
+    defaults: reference-matching default kwargs. batch: same algorithm over
+    a (B, T, F, M) stack in ONE fused XLA program (None where no batch path
+    exists); per-element results match ``run`` on each X[b] — the sweep
+    harness groups same-shape instances through it (SURVEY.md §3.4).
     """
 
     name: str
@@ -34,6 +37,7 @@ class AlgorithmSpec:
     single_output: bool = False
     min_src: int = 1
     defaults: dict = field(default_factory=dict)
+    batch: Callable | None = None
 
     def __call__(self, X, n_src=None, **kw):
         params = {**self.defaults, **kw}
@@ -42,6 +46,15 @@ class AlgorithmSpec:
         if self.determined:
             return self.run(X, n_src=n_src, **params)
         return self.run(X, n_src=n_src, **params)
+
+    def run_batch(self, X_batch, n_src=None, **kw):
+        """Batched dispatch with the same defaults; raises if no batch path."""
+        if self.batch is None:
+            raise ValueError(f"{self.name} has no batched implementation")
+        params = {**self.defaults, **kw}
+        if self.single_output:
+            return self.batch(X_batch, **params)
+        return self.batch(X_batch, n_src=n_src, **params)
 
 
 def _gauss(fn):
@@ -56,46 +69,60 @@ ALGORITHMS: dict[str, AlgorithmSpec] = {
     s.name: s
     for s in [
         AlgorithmSpec("auxiva", api.auxiva, determined=True,
-                      defaults={"n_iter": 20}),
+                      defaults={"n_iter": 20}, batch=api.overiva_batch),
         AlgorithmSpec("auxiva-gauss", _gauss(api.auxiva), determined=True,
-                      defaults={"n_iter": 20}),
+                      defaults={"n_iter": 20},
+                      batch=_gauss(api.overiva_batch)),
         AlgorithmSpec("auxiva-iss", api.auxiva_iss, determined=True,
-                      defaults={"n_iter": 20}),
+                      defaults={"n_iter": 20}, batch=api.auxiva_iss_batch),
         AlgorithmSpec("auxiva-iss-gauss", _gauss(api.auxiva_iss), determined=True,
-                      defaults={"n_iter": 20}),
-        AlgorithmSpec("overiva", api.overiva, defaults={"n_iter": 20}),
+                      defaults={"n_iter": 20},
+                      batch=_gauss(api.auxiva_iss_batch)),
+        AlgorithmSpec("overiva", api.overiva, defaults={"n_iter": 20},
+                      batch=api.overiva_batch),
         AlgorithmSpec("overiva-gauss", _gauss(api.overiva),
-                      defaults={"n_iter": 20}),
+                      defaults={"n_iter": 20},
+                      batch=_gauss(api.overiva_batch)),
         AlgorithmSpec("overiva-iss", api.overiva_iss,
-                      defaults={"n_iter": 20}),
+                      defaults={"n_iter": 20}, batch=api.auxiva_iss_batch),
         AlgorithmSpec("overiva-iss-gauss", _gauss(api.overiva_iss),
-                      defaults={"n_iter": 20}),
+                      defaults={"n_iter": 20},
+                      batch=_gauss(api.auxiva_iss_batch)),
         AlgorithmSpec("overiva-ip2", api.overiva_ip2, min_src=2,
-                      defaults={"n_iter": 10}),
+                      defaults={"n_iter": 10}, batch=api.overiva_ip2_batch),
         AlgorithmSpec("overiva-ip2-gauss", _gauss(api.overiva_ip2),
-                      min_src=2, defaults={"n_iter": 10}),
-        AlgorithmSpec("auxiva_pca", api.auxiva_pca, defaults={"n_iter": 20}),
+                      min_src=2, defaults={"n_iter": 10},
+                      batch=_gauss(api.overiva_ip2_batch)),
+        AlgorithmSpec("auxiva_pca", api.auxiva_pca, defaults={"n_iter": 20},
+                      batch=api.auxiva_pca_batch),
         AlgorithmSpec("auxiva_pca-iss", api.auxiva_pca,
-                      defaults={"n_iter": 20, "inner": "iss"}),
+                      defaults={"n_iter": 20, "inner": "iss"},
+                      batch=api.auxiva_pca_batch),
         AlgorithmSpec("sparseauxiva", api.sparseauxiva, determined=True,
-                      defaults={"n_iter": 20}),
+                      defaults={"n_iter": 20}, batch=api.sparseauxiva_batch),
         AlgorithmSpec("ilrma", api.ilrma, determined=True,
-                      defaults={"n_iter": 30, "n_components": 2}),
+                      defaults={"n_iter": 30, "n_components": 2},
+                      batch=api.ilrma_batch),
         AlgorithmSpec("fastmnmf", api.fastmnmf,
-                      defaults={"n_iter": 30, "n_components": 2}),
+                      defaults={"n_iter": 30, "n_components": 2},
+                      batch=api.fastmnmf_batch),
         AlgorithmSpec("fastmnmf2", api.fastmnmf2,
-                      defaults={"n_iter": 30, "n_components": 2}),
+                      defaults={"n_iter": 30, "n_components": 2},
+                      batch=api.fastmnmf2_batch),
         AlgorithmSpec("five", api.five, single_output=True,
-                      defaults={"n_iter": 10}),
+                      defaults={"n_iter": 10}, batch=api.five_batch),
         AlgorithmSpec("ogive", api.ogive, single_output=True,
                       defaults={"n_iter": 4000, "step_size": 0.1,
-                                "tol": 1e-3, "update": "demix"}),
+                                "tol": 1e-3, "update": "demix"},
+                      batch=api.ogive_batch),
         AlgorithmSpec("ogive-mix", api.ogive, single_output=True,
                       defaults={"n_iter": 4000, "step_size": 0.1,
-                                "tol": 1e-3, "update": "mix"}),
+                                "tol": 1e-3, "update": "mix"},
+                      batch=api.ogive_batch),
         AlgorithmSpec("ogive-switching", api.ogive, single_output=True,
                       defaults={"n_iter": 4000, "step_size": 0.1,
-                                "tol": 1e-3, "update": "switching"}),
+                                "tol": 1e-3, "update": "switching"},
+                      batch=api.ogive_batch),
     ]
 }
 

@@ -100,3 +100,62 @@ def test_fastmnmf2_batch_matches_loop(batch43):
             batch[b], n_src=2, n_iter=6, seed=9 + b, dtype=np.complex128
         )
         np.testing.assert_allclose(Yb[b], Yref, rtol=1e-6, atol=1e-8)
+
+
+def test_ilrma_batch_matches_loop(batch43):
+    batch = batch43
+    Yb = api.ilrma_batch(batch, n_iter=6, seed=9, dtype=np.complex128)
+    for b in range(3):
+        Yref = api.ilrma(batch[b], n_iter=6, seed=9 + b, dtype=np.complex128)
+        np.testing.assert_allclose(Yb[b], Yref, rtol=1e-7, atol=1e-9)
+
+
+def test_ilrma_batch_explicit_seeds(batch43):
+    """seeds=[s]*B makes every element reproduce ilrma(X[b], seed=s) — the
+    sweep harness relies on this to keep batched JSONs identical."""
+    batch = batch43
+    Yb = api.ilrma_batch(batch, n_iter=4, seeds=[5, 5, 5], dtype=np.complex128)
+    for b in range(3):
+        Yref = api.ilrma(batch[b], n_iter=4, seed=5, dtype=np.complex128)
+        np.testing.assert_allclose(Yb[b], Yref, rtol=1e-7, atol=1e-9)
+    with pytest.raises(ValueError):
+        api.ilrma_batch(batch, seeds=[1, 2])
+
+
+def test_fastmnmf2_batch_explicit_seeds(batch43):
+    batch = batch43
+    Yb = api.fastmnmf2_batch(
+        batch, n_src=2, n_iter=4, seeds=[3, 3, 3], dtype=np.complex128
+    )
+    for b in range(3):
+        Yref = api.fastmnmf2(batch[b], n_src=2, n_iter=4, seed=3, dtype=np.complex128)
+        np.testing.assert_allclose(Yb[b], Yref, rtol=1e-7, atol=1e-9)
+
+
+@pytest.mark.parametrize("inner", ["ip", "iss"])
+def test_auxiva_pca_batch_matches_loop(batch43, inner):
+    batch = batch43
+    Yb = api.auxiva_pca_batch(
+        batch, n_src=2, n_iter=8, inner=inner, dtype=np.complex128
+    )
+    for b in range(3):
+        Yref = api.auxiva_pca(
+            batch[b], n_src=2, n_iter=8, inner=inner, dtype=np.complex128
+        )
+        np.testing.assert_allclose(Yb[b], Yref, rtol=1e-7, atol=1e-9)
+
+
+def test_registry_batch_dispatch(batch43):
+    """Every registry entry exposes a batch path and it matches the
+    per-instance spec call (sweep-harness contract)."""
+    from overiva_tpu.registry import ALGORITHMS
+
+    batch = batch43
+    assert all(s.batch is not None for s in ALGORITHMS.values())
+    for name in ("auxiva", "overiva-gauss", "auxiva_pca-iss"):
+        spec = ALGORITHMS[name]
+        n_src = 4 if spec.determined else 2
+        Yb = spec.run_batch(batch, n_src=n_src, n_iter=4, dtype=np.complex128)
+        for b in range(3):
+            Yref = spec(batch[b], n_src=n_src, n_iter=4, dtype=np.complex128)
+            np.testing.assert_allclose(Yb[b], Yref, rtol=1e-7, atol=1e-9)
