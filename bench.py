@@ -102,6 +102,14 @@ def main():
     check_finite(W)
     extra["overiva_bf16_it_s"] = round(N_ITER / t_bf, 1)
 
+    # ---- f32x3 middle tier (3-pass bf16 MXU decomposition, ~1e-5 relative
+    # operand error vs bf16's ~4e-3 — docs/DESIGN.md §2c round 3) ----
+    t_x3, W = timed(
+        lambda: overiva_iterations(X, W_hat, Cx, N, N_ITER, "laplace", wcov="f32x3")
+    )
+    check_finite(W)
+    extra["overiva_f32x3_it_s"] = round(N_ITER / t_x3, 1)
+
     # ---- realistic frame count T=512 ----
     re5, im5 = _make_mix(rng, 512, F, M)
     X5 = jax.jit(lambda r, i: r + 1j * i)(re5, im5)
@@ -115,6 +123,11 @@ def main():
     )
     check_finite(W)
     extra["overiva_T512_bf16_it_s"] = round(N_ITER / t5b, 1)
+    t5x, W = timed(
+        lambda: overiva_iterations(X5, W_hat5, Cx5, N, N_ITER, "laplace", wcov="f32x3")
+    )
+    check_finite(W)
+    extra["overiva_T512_f32x3_it_s"] = round(N_ITER / t5x, 1)
 
     # ---- OverIVA-IP2 (pairwise updates: ~0.55 ms/iter but 3-5x fewer
     # iterations to converge than IP1 — tests/test_ip2.py) ----

@@ -36,6 +36,7 @@ from .models import ogive as _ogive_mod
 from .models import overiva as _core
 from .ops import projection as _proj
 from .ops import stft as _stft
+from .ops.covariance import WCOV_MODES
 from .ops.covariance import covariance as _covariance
 from .utils.packing import merge_np, real_dtype_of, split_np
 
@@ -163,8 +164,8 @@ def overiva(
     if not 1 <= N <= M:
         raise ValueError("need 1 <= n_src <= n_chan")
     cdtype = np.dtype(dtype or DEFAULT_DTYPE)
-    if str(wcov) not in ("f32", "bf16"):
-        raise ValueError(f"wcov must be 'f32' or 'bf16', got {wcov!r}")
+    if str(wcov) not in WCOV_MODES:
+        raise ValueError(f"wcov must be one of {WCOV_MODES}, got {wcov!r}")
 
     Xd = _to_device(X, cdtype)
     W0d = _to_device(W0, cdtype) if W0 is not None else Xd[:0]  # placeholder
@@ -226,8 +227,8 @@ def overiva_ip2(
     if not 2 <= N <= M:
         raise ValueError(f"IP2 needs 2 <= n_src <= n_chan, got {N}")
     cdtype = np.dtype(dtype or DEFAULT_DTYPE)
-    if str(wcov) not in ("f32", "bf16"):
-        raise ValueError(f"wcov must be 'f32' or 'bf16', got {wcov!r}")
+    if str(wcov) not in WCOV_MODES:
+        raise ValueError(f"wcov must be one of {WCOV_MODES}, got {wcov!r}")
 
     Xd = _to_device(X, cdtype)
     W0d = _to_device(W0, cdtype) if W0 is not None else Xd[:0]
@@ -797,8 +798,8 @@ def ilrma(
         raise ValueError("ilrma is determined: n_src must equal n_chan")
     cdtype = np.dtype(dtype or DEFAULT_DTYPE)
     rdtype = real_dtype_of(cdtype)
-    if str(wcov) not in ("f32", "bf16"):
-        raise ValueError(f"wcov must be 'f32' or 'bf16', got {wcov!r}")
+    if str(wcov) not in WCOV_MODES:
+        raise ValueError(f"wcov must be one of {WCOV_MODES}, got {wcov!r}")
 
     rng = np.random.default_rng(seed)
     B = (rng.random((N, F, n_components)) + 0.1).astype(rdtype)
@@ -878,8 +879,8 @@ def sparseauxiva(
     N = M if n_src is None else int(n_src)
     if N != M:
         raise ValueError("sparseauxiva is determined: n_src must equal n_chan")
-    if str(wcov) not in ("f32", "bf16"):
-        raise ValueError(f"wcov must be 'f32' or 'bf16', got {wcov!r}")
+    if str(wcov) not in WCOV_MODES:
+        raise ValueError(f"wcov must be one of {WCOV_MODES}, got {wcov!r}")
     nfft = 2 * (F - 1)
     if S is None:
         S = select_bins(X, _resolve_n_bins(n_bins, F, M))
@@ -984,8 +985,8 @@ def _fastmnmf_impl(
         raise ValueError("need n_src >= 1")
     if init not in ("whiten", "eye"):
         raise ValueError(f"init must be 'whiten' or 'eye', got {init!r}")
-    if str(wcov) not in ("f32", "bf16"):
-        raise ValueError(f"wcov must be 'f32' or 'bf16', got {wcov!r}")
+    if str(wcov) not in WCOV_MODES:
+        raise ValueError(f"wcov must be one of {WCOV_MODES}, got {wcov!r}")
     if n_noise == "auto":
         n_noise = M - N_out if N_out < M else 0
     N = N_out + int(n_noise)
@@ -1634,8 +1635,8 @@ def ilrma_batch(
     N = M if n_src is None else int(n_src)
     if N != M:
         raise ValueError("ilrma is determined: n_src must equal n_chan")
-    if str(wcov) not in ("f32", "bf16"):
-        raise ValueError(f"wcov must be 'f32' or 'bf16', got {wcov!r}")
+    if str(wcov) not in WCOV_MODES:
+        raise ValueError(f"wcov must be one of {WCOV_MODES}, got {wcov!r}")
     cdtype = np.dtype(dtype or DEFAULT_DTYPE)
     rdtype = real_dtype_of(cdtype)
     if seeds is None:

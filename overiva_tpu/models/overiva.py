@@ -20,12 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.covariance import (
-    covariance,
-    weighted_covariance,
-    weighted_covariance_all,
-    weighted_covariance_chunked,
-)
+from ..ops.covariance import covariance, weighted_covariance_all
 from ..ops.fminor import (
     gauss_solve_fm,
     mat_h_fm,
@@ -141,17 +136,13 @@ def _epoch(
         return jnp.concatenate([A[:k], row[None], A[k + 1 :]], axis=0)
 
     # all N weighted covariances up front (they depend only on the
-    # epoch-start phi): one pass over X instead of N (X-read-bound op)
-    Vs = None if chunk_frames else weighted_covariance_all(X, phi, wcov)
+    # epoch-start phi): one pass over X instead of N (X-read-bound op).
+    # chunk_frames streams the frame axis (SURVEY.md §5.7): bounds the
+    # (K, chunk, F, M) weighted temporary for long recordings AND is the
+    # fast form at T >= ~256 (it stops round-tripping HBM — §2c table)
+    Vs = weighted_covariance_all(X, phi, wcov, chunk=chunk_frames)
     for k in range(N):  # static unroll — IP updates are order-dependent
-        # chunk_frames: stream the frame axis (SURVEY.md §5.7) so long
-        # recordings never materialize the (T, F, M) weighted temporary
-        if chunk_frames:
-            V = weighted_covariance_chunked(
-                X, phi[:, k], chunk=chunk_frames, wcov=wcov
-            )
-        else:
-            V = Vs[k]  # (F, M, M)
+        V = Vs[k]  # (F, M, M)
         Vp = to_fminor(V)  # (M, M, F)
         WV = matmul_fm(Wp, Vp)
         rhs = jnp.broadcast_to(e[:, k, None, None], (M, 1, F))

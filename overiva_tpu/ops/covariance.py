@@ -16,6 +16,15 @@ from jax import lax
 
 from .linalg import PRECISION
 
+WCOV_MODES = ("f32", "f32x3", "bf16")
+
+
+def _wcov_precision(wcov: str):
+    """f32 -> HIGHEST (6 bf16 MXU passes, full f32 products); f32x3 ->
+    HIGH (3 passes: ~1e-5 relative operand error, ~2x faster — the
+    middle serving tier between exact f32 and bf16's ~4e-3)."""
+    return lax.Precision.HIGH if wcov == "f32x3" else PRECISION
+
 __all__ = [
     "covariance",
     "weighted_covariance",
@@ -42,7 +51,7 @@ def weighted_covariance(X, phi):
     )
 
 
-def weighted_covariance_all(X, phi, wcov: str = "f32"):
+def weighted_covariance_all(X, phi, wcov: str = "f32", chunk=None):
     """All sources' weighted covariances in ONE pass over X.
 
     V[k, f] = (1/T) sum_t phi[t, k] x x^H. X: (T, F, M), phi: (T, K)
@@ -57,8 +66,37 @@ def weighted_covariance_all(X, phi, wcov: str = "f32"):
     ms/iter at T=512 — docs/DESIGN.md §2c). Operand rounding is ~1e-3
     relative on V; the IP iteration is a fixed-point map, so the final
     separation quality moves by well under 0.1 dB (tests/test_bf16.py).
+    ``wcov="f32x3"`` keeps f32 operands but allows the 3-pass bf16 MXU
+    decomposition (lax.Precision.HIGH, ~1e-5 relative) instead of the
+    exact 6-pass — the middle serving tier (docs/DESIGN.md §2c).
+
+    ``chunk``: scan the frame axis in blocks so the (K, chunk, F, M)
+    weighted temporary never round-trips HBM — at T=512 this is ~1.9x
+    faster than the dense contraction on a v5e (chunk 128; §2c table).
     """
     T = X.shape[0]
+    if chunk and chunk < T:
+        K = phi.shape[1]
+        F, M = X.shape[1], X.shape[2]
+        if T % chunk != 0:
+            pad = chunk - T % chunk
+            X = jnp.concatenate([X, jnp.zeros((pad, F, M), X.dtype)], axis=0)
+            phi = jnp.concatenate(
+                [phi, jnp.zeros((pad, K), phi.dtype)], axis=0
+            )
+        n_chunks = X.shape[0] // chunk
+        Xc = X.reshape(n_chunks, chunk, F, M)
+        pc = phi.reshape(n_chunks, chunk, K)
+
+        def body(acc, inputs):
+            xb, pb = inputs
+            acc = acc + weighted_covariance_all(xb, pb, wcov) * chunk
+            return acc, None
+
+        V, _ = lax.scan(
+            body, jnp.zeros((K, F, M, M), X.dtype), (Xc, pc)
+        )
+        return V / T
     if wcov == "bf16":
         xr = X.real.astype(jnp.bfloat16)
         xi = X.imag.astype(jnp.bfloat16)
@@ -80,7 +118,11 @@ def weighted_covariance_all(X, phi, wcov: str = "f32"):
         return (Vre + 1j * Vim).astype(X.dtype) / T
     Xw = X[None] * phi.T[:, :, None, None].astype(X.real.dtype)  # (K,T,F,M)
     return (
-        jnp.einsum("ktfm,tfn->kfmn", Xw, jnp.conj(X), precision=PRECISION) / T
+        jnp.einsum(
+            "ktfm,tfn->kfmn", Xw, jnp.conj(X),
+            precision=_wcov_precision(wcov),
+        )
+        / T
     )
 
 
@@ -111,7 +153,12 @@ def weighted_covariance_tf(X, w_tf, wcov: str = "f32"):
         Vim = mm(wi, xr) - mm(wr, xi)
         return (Vre + 1j * Vim).astype(X.dtype) / T
     Xw = X * w_tf[:, :, None].astype(X.real.dtype)
-    return jnp.einsum("tfm,tfn->fmn", Xw, jnp.conj(X), precision=PRECISION) / T
+    return (
+        jnp.einsum(
+            "tfm,tfn->fmn", Xw, jnp.conj(X), precision=_wcov_precision(wcov)
+        )
+        / T
+    )
 
 
 def weighted_covariance_chunked(X, phi, chunk: int = 256, wcov: str = "f32"):
@@ -163,7 +210,7 @@ def weighted_covariance_chunked(X, phi, chunk: int = 256, wcov: str = "f32"):
         xb, pb = inputs
         xw = xb * pb[:, None, None].astype(xb.real.dtype)
         acc = acc + jnp.einsum(
-            "tfm,tfn->fmn", xw, jnp.conj(xb), precision=PRECISION
+            "tfm,tfn->fmn", xw, jnp.conj(xb), precision=_wcov_precision(wcov)
         )
         return acc, None
 

@@ -63,3 +63,35 @@ def test_chunked_bf16_close_to_dense(rng):
     scale = np.abs(V_dense).max()
     err = np.abs(V16 - V_dense).max() / scale
     assert 1e-8 < err < 5e-2, err  # bf16-rounded, but not the exact f32 path
+
+
+def test_weighted_all_chunked_matches_dense(rng):
+    """All-K frame-chunked scan (the fast T>=256 form on TPU) == dense,
+    including a padded tail."""
+    from overiva_tpu.ops.covariance import weighted_covariance_all
+
+    X = _mk(rng, T=100)
+    phi = jnp.asarray(rng.random((100, 3)))
+    V_dense = np.asarray(weighted_covariance_all(X, phi))
+    for chunk in (32, 50, 100, 256):
+        V_c = np.asarray(weighted_covariance_all(X, phi, chunk=chunk))
+        np.testing.assert_allclose(V_c, V_dense, atol=1e-10, err_msg=str(chunk))
+
+
+def test_wcov_f32x3_mode_runs_and_matches_on_cpu(rng):
+    """f32x3 (lax.Precision.HIGH): exact on CPU (precision flags only
+    affect TPU MXU lowering); on TPU it is the ~1e-5 middle tier."""
+    from overiva_tpu.ops.covariance import (
+        weighted_covariance_all,
+        weighted_covariance_tf,
+    )
+
+    X = _mk(rng).astype(jnp.complex64)
+    phi = jnp.asarray(rng.random((100, 2)), jnp.float32)
+    V = np.asarray(weighted_covariance_all(X, phi, "f32x3"))
+    Vref = np.asarray(weighted_covariance_all(X, phi, "f32"))
+    np.testing.assert_allclose(V, Vref, rtol=2e-5)
+    w = jnp.asarray(rng.random((100, 17)), jnp.float32)
+    V2 = np.asarray(weighted_covariance_tf(X, w, "f32x3"))
+    V2ref = np.asarray(weighted_covariance_tf(X, w, "f32"))
+    np.testing.assert_allclose(V2, V2ref, rtol=2e-5)
