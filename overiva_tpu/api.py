@@ -152,11 +152,14 @@ def overiva(
     FLOPs majority) on the MXU in bfloat16 with float32 accumulation —
     ~1.8x faster end-to-end at realistic frame counts on a v5e, with
     separation quality within ~0.05 dB of the f32 path on clean and
-    noisy mixtures (docs/DESIGN.md §2c, tests/test_bf16.py). In HEAVY
-    reverb (RIR past the STFT window) instance-level deltas up to ~2 dB
-    either way were measured (unbiased; DESIGN §2c stress caveat) —
-    keep the f32 default where per-instance reproducibility matters.
-    The f32 default is the 0.1 dB parity path.
+    noisy mixtures at moderate reverb (docs/DESIGN.md §2c,
+    tests/test_bf16.py). In HEAVY reverb (RIR past the STFT window) the
+    round-3 re-measure at 10 rooms shows a REAL mean degradation of
+    ~1.5-2.3 dB SIR — do not use bf16 there. ``wcov="f32x3"`` is the
+    heavy-reverb fast tier: ~25% faster than f32, statistically unbiased,
+    per-instance spread at the condition's intrinsic sensitivity floor
+    (DESIGN §2c round-3 stress table). The f32 default is the 0.1 dB
+    parity path.
     """
     X = np.asarray(X)
     T, F, M = X.shape
