@@ -37,6 +37,7 @@ from overiva_tpu import api
 from overiva_tpu.metrics import BssEvalReferences
 from overiva_tpu.oracle import stft_pad
 from overiva_tpu.registry import applicable, get_algorithm
+from overiva_tpu.utils.profiling import device_sync
 from overiva_tpu.sim import (
     ShoeBox,
     circular_mic_array,
@@ -136,11 +137,15 @@ class _InstanceEval:
             self.sir_mix = np.array([0.0])
 
     def score(self, Y, runtime, nfft):
-        """Separated STFT -> the per-algorithm result dict."""
+        """Separated STFT (host or device array) -> result dict."""
         hop = nfft // 2
+        y = api.stft_synthesis(Y, nfft)[nfft - hop :][: self.mix.shape[0]]
+        return self.score_time(y, runtime)
+
+    def score_time(self, y, runtime):
+        """Separated time-domain signals (n_samples, n_out) -> result dict."""
         mix, refs, n_src = self.mix, self.refs, self.n_src
-        y = api.stft_synthesis(Y, nfft)[nfft - hop :][: mix.shape[0]]
-        if Y.shape[2] == n_src and n_src > 1:
+        if y.shape[1] == n_src and n_src > 1:
             # reference-ordered rows (mir_eval convention), so the mix
             # scores (also reference-ordered) align without perm indexing
             sdr, sir, sar, perm = self.ev.evaluate(y.T)
@@ -232,12 +237,17 @@ def batch_instances(cfg, group, simulated):
     hop = nfft // 2
     B = len(group)
     n_src, n_mics = group[0][2], group[0][1]
-    X = np.stack(
-        [api.stft_analysis(stft_pad(m, nfft, hop), nfft) for m, _ in simulated]
-    )
+    # Device-resident input path: ONE upload of the real mixture batch
+    # (half the bytes of the complex STFT), device FFT, and the batch STFT
+    # never comes back to host. Tunnel transfers run at tens of MB/s —
+    # before this, every algorithm re-uploaded the same 60 MB STFT batch
+    # and downloaded/re-uploaded its full complex output for synthesis.
+    xb = np.stack([stft_pad(m, nfft, hop) for m, _ in simulated])
+    Xd = api.stft_analysis_batch(xb, nfft, device=True)
     evs = [
         _InstanceEval(mix, premix, n_src) for mix, premix in simulated
     ]
+    n_samp = simulated[0][0].shape[0]
 
     results = [dict() for _ in range(B)]
     for name, params in cfg["algos"].items():
@@ -246,13 +256,26 @@ def batch_instances(cfg, group, simulated):
         spec = get_algorithm(name)
         try:
             t0 = time.perf_counter()
-            Yb = spec.run_batch(X, n_src=n_src, **_batch_params(spec, params, B))
+            Yb = spec.run_batch(
+                Xd, n_src=n_src, device=True,
+                **_batch_params(spec, params, B),
+            )
+            device_sync(Yb)  # honest runtime: force execution, not dispatch
             runtime = (time.perf_counter() - t0) / B
+        except Exception as e:  # a failed dispatch marks the whole group
             for b in range(B):
-                results[b][name] = evs[b].score(Yb[b], runtime, nfft)
+                results[b][name] = {"error": f"{type(e).__name__}: {e}"}
+            continue
+        for b in range(B):  # score per element: one bad lane must not
+            try:            # void the other B-1 results
+                # device-side synthesis from the device slice; only the
+                # (n_samples, n_out) float signal crosses to host
+                y = api.stft_synthesis(Yb[b], nfft)[nfft - hop:][:n_samp]
+                if not np.all(np.isfinite(y)):
+                    raise FloatingPointError("non-finite separation output")
+                results[b][name] = evs[b].score_time(y, runtime)
                 results[b][name]["batched"] = B
-        except Exception as e:  # a failed algo marks the whole group
-            for b in range(B):
+            except Exception as e:
                 results[b][name] = {"error": f"{type(e).__name__}: {e}"}
     return results
 

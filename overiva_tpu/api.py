@@ -48,7 +48,9 @@ __all__ = [
     "pca",
     "projection_back",
     "stft_analysis",
+    "stft_analysis_batch",
     "stft_synthesis",
+    "to_device",
     "overiva_batch",
     "separate",
     "auxiva_iss",
@@ -82,10 +84,41 @@ _merge = jax.jit(lambda r, i: r + 1j * i)
 _split = jax.jit(lambda c: (jnp.real(c), jnp.imag(c)))
 
 
+def _ensure(x):
+    """np.asarray for host inputs; device arrays pass through untouched
+    (no device->host round trip)."""
+    return x if isinstance(x, jax.Array) else np.asarray(x)
+
+
 def _to_device(x, cdtype):
-    """Host complex/real ndarray -> device-resident complex array."""
+    """Host complex/real ndarray -> device-resident complex array.
+
+    Already-device complex arrays are returned as-is (cast if needed) so
+    callers can upload once and fan out over many algorithms — the sweep
+    harness's hot path (transfers over the TPU tunnel run at tens of MB/s;
+    re-uploading a 60 MB STFT batch per algorithm dominated the un-cached
+    sweep wall)."""
+    if isinstance(x, jax.Array):
+        if jnp.iscomplexobj(x):
+            return x if x.dtype == cdtype else x.astype(cdtype)
+        return x.astype(cdtype)
     re, im = split_np(np.asarray(x), real_dtype_of(cdtype))
     return _merge(jnp.asarray(re), jnp.asarray(im))
+
+
+def to_device(X, dtype=None):
+    """Public: move a (complex or real) array to the device as complex.
+
+    Use to upload a batch STFT once and pass the result to many
+    ``*_batch(..., )`` calls; each skips its own host->device transfer."""
+    return _to_device(X, np.dtype(dtype or DEFAULT_DTYPE))
+
+
+def _from_jit(re, im, device):
+    """(real, imag) jit outputs -> complex, on device or host."""
+    if device:
+        return _merge(re, im)
+    return merge_np(np.asarray(re), np.asarray(im))
 
 
 def _to_host(c) -> np.ndarray:
@@ -745,20 +778,42 @@ def projection_back(Y, ref):
     return _pb(np.asarray(Y), np.asarray(ref))
 
 
-def stft_analysis(x, nfft, hop=None, win=None, dtype=None):
-    """Time signal (n_samples[, M]) -> complex STFT (T, nfft//2+1[, M])."""
+def stft_analysis(x, nfft, hop=None, win=None, dtype=None, device=False):
+    """Time signal (n_samples[, M]) -> complex STFT (T, nfft//2+1[, M]).
+
+    ``device=True`` keeps the result on device (feed it straight into the
+    separation APIs without a host round trip)."""
     hop = hop or nfft // 2
     x = np.asarray(x)
     rdtype = real_dtype_of(np.dtype(dtype or DEFAULT_DTYPE))
     re, im = _stft_analysis_jit(jnp.asarray(x.astype(rdtype)), int(nfft), int(hop))
-    return merge_np(np.asarray(re), np.asarray(im))
+    return _from_jit(re, im, device)
+
+
+def stft_analysis_batch(x, nfft, hop=None, dtype=None, device=False):
+    """Batch of time signals (B, n_samples, M) -> (B, T, nfft//2+1, M).
+
+    One upload of the real mixture batch (half the bytes of the complex
+    STFT), one fused device FFT over the whole batch. With ``device=True``
+    the batch STFT never touches the host — the sweep harness's input path.
+    """
+    hop = hop or nfft // 2
+    x = np.asarray(x)
+    rdtype = real_dtype_of(np.dtype(dtype or DEFAULT_DTYPE))
+    re, im = _stft_analysis_batch_jit(
+        jnp.asarray(x.astype(rdtype)), int(nfft), int(hop)
+    )
+    return _from_jit(re, im, device)
 
 
 def stft_synthesis(X, nfft, hop=None, win_s=None, dtype=None):
-    """Complex STFT -> time signal via weighted overlap-add."""
+    """Complex STFT -> time signal via weighted overlap-add.
+
+    Accepts host arrays or device arrays (e.g. a ``device=True`` separation
+    result — no re-upload)."""
     hop = hop or nfft // 2
     cdtype = np.dtype(dtype or DEFAULT_DTYPE)
-    Xd = _to_device(np.asarray(X), cdtype)
+    Xd = _to_device(_ensure(X), cdtype)
     y = _stft_synthesis_jit(Xd, int(nfft), int(hop))
     return np.asarray(y)
 
@@ -766,6 +821,12 @@ def stft_synthesis(X, nfft, hop=None, win_s=None, dtype=None):
 @partial(jax.jit, static_argnames=("nfft", "hop"))
 def _stft_analysis_jit(x, nfft, hop):
     X = _stft.analysis(x, nfft, hop)
+    return jnp.real(X), jnp.imag(X)
+
+
+@partial(jax.jit, static_argnames=("nfft", "hop"))
+def _stft_analysis_batch_jit(x, nfft, hop):
+    X = jax.vmap(lambda xb: _stft.analysis(xb, nfft, hop))(x)
     return jnp.real(X), jnp.imag(X)
 
 
@@ -1227,15 +1288,18 @@ def overiva_batch(
     model="laplace",
     init_eig=False,
     dtype=None,
+    device=False,
 ):
     """Separate a batch of same-shape mixtures in ONE fused XLA program.
 
-    X: (batch, n_frames, n_freq, n_chan) complex. Returns
-    (batch, n_frames, n_freq, n_src). Single-chip throughput path (vmap over
-    mixtures); for multi-chip see ``overiva_tpu.parallel.sharded``. No
-    callback support (use :func:`overiva` per mixture for that).
+    X: (batch, n_frames, n_freq, n_chan) complex (host ndarray or a
+    device array from :func:`to_device` — the latter skips the upload).
+    Returns (batch, n_frames, n_freq, n_src); ``device=True`` keeps the
+    result on the device (skips the download). Single-chip throughput path
+    (vmap over mixtures); for multi-chip see ``overiva_tpu.parallel.sharded``.
+    No callback support (use :func:`overiva` per mixture for that).
     """
-    X = np.asarray(X)
+    X = _ensure(X)
     B, T, F, M = X.shape
     N = M if n_src is None else int(n_src)
     if not 1 <= N <= M:
@@ -1244,7 +1308,7 @@ def overiva_batch(
     re, im = _overiva_batch_jit(
         Xd, N, int(n_iter), model, bool(init_eig), bool(proj_back)
     )
-    return merge_np(np.asarray(re), np.asarray(im))
+    return _from_jit(re, im, device)
 
 
 @partial(
@@ -1267,18 +1331,20 @@ def _ip2_batch_jit(X, n_src, n_iter, model, proj_back):
 
 
 def overiva_ip2_batch(
-    X, n_src=None, n_iter=10, proj_back=True, model="laplace", dtype=None
+    X, n_src=None, n_iter=10, proj_back=True, model="laplace", dtype=None,
+    device=False,
 ):
     """Batch of same-shape mixtures through OverIVA-IP2 in ONE fused XLA
-    program. X: (batch, T, F, M) -> (batch, T, F, n_src)."""
-    X = np.asarray(X)
+    program. X: (batch, T, F, M) -> (batch, T, F, n_src). Accepts
+    :func:`to_device` arrays; ``device=True`` keeps the result on device."""
+    X = _ensure(X)
     B, T, F, M = X.shape
     N = M if n_src is None else int(n_src)
     if not 2 <= N <= M:
         raise ValueError(f"IP2 needs 2 <= n_src <= n_chan, got {N}")
     Xd = _to_device(X, np.dtype(dtype or DEFAULT_DTYPE))
     re, im = _ip2_batch_jit(Xd, N, int(n_iter), model, bool(proj_back))
-    return merge_np(np.asarray(re), np.asarray(im))
+    return _from_jit(re, im, device)
 
 
 @partial(
@@ -1318,6 +1384,7 @@ def fastmnmf2_batch(
     seeds=None,
     dtype=None,
     tie_g=True,
+    device=False,
 ):
     """Batch of same-shape mixtures through FastMNMF2 in ONE fused XLA
     program. X: (batch, T, F, M) -> (batch, T, F, n_src). Element b's NMF
@@ -1325,8 +1392,10 @@ def fastmnmf2_batch(
     when an explicit per-element ``seeds`` sequence is given (the sweep
     harness uses ``seeds=[s]*B`` to reproduce its single-instance runs
     exactly). ``tie_g=False`` selects FastMNMF1 (see :func:`fastmnmf`).
+    Accepts :func:`to_device` arrays; ``device=True`` keeps the result on
+    device.
     """
-    X = np.asarray(X)
+    X = _ensure(X)
     B, T, F, M = X.shape
     N_out = M if n_src is None else int(n_src)
     if N_out < 1:
@@ -1361,7 +1430,7 @@ def fastmnmf2_batch(
         Xd, jnp.asarray(g.astype(rdtype)), jnp.asarray(W), jnp.asarray(H),
         int(n_iter), int(mic_index), init, N_out,
     )
-    return merge_np(np.asarray(re), np.asarray(im))
+    return _from_jit(re, im, device)
 
 
 def fastmnmf_batch(X, **kwargs):
@@ -1422,12 +1491,14 @@ def sparseauxiva_batch(
     acausal_taps=None,
     polish_iter=3,
     dtype=None,
+    device=False,
 ):
     """Batch of same-shape mixtures through SparseAuxIVA in ONE fused XLA
     program. X: (batch, T, F, M) -> (batch, T, F, M). Bin subsets are
     selected per element (stratified top power, so every element has the
     same subset SIZE); see :func:`sparseauxiva` for the parameters and
-    regime guidance.
+    regime guidance. ``device=True`` keeps the result on device (the input
+    is still pulled to host once — bin selection is host-side).
     """
     from .oracle.sparseauxiva import _resolve_n_bins, select_bins
 
@@ -1451,7 +1522,7 @@ def sparseauxiva_batch(
         str(model), bool(proj_back), nfft, n_causal, n_acausal,
         int(lasso_iter), int(polish_iter),
     )
-    return merge_np(np.asarray(re), np.asarray(im))
+    return _from_jit(re, im, device)
 
 
 @partial(
@@ -1481,21 +1552,24 @@ def _iss_batch_jit(X, n_src, n_iter, model, proj_back):
 
 
 def auxiva_iss_batch(
-    X, n_src=None, n_iter=20, proj_back=True, model="laplace", dtype=None
+    X, n_src=None, n_iter=20, proj_back=True, model="laplace", dtype=None,
+    device=False,
 ):
     """Batch of same-shape mixtures through AuxIVA-ISS (OverIVA-ISS when
     ``n_src < n_chan``) in ONE fused XLA program.
 
     X: (batch, n_frames, n_freq, n_chan) complex -> (batch, ..., n_src).
-    Single-chip throughput path; no callbacks (use the per-mixture API)."""
-    X = np.asarray(X)
+    Accepts :func:`to_device` arrays; ``device=True`` keeps the result on
+    device. Single-chip throughput path; no callbacks (use the per-mixture
+    API)."""
+    X = _ensure(X)
     B, T, F, M = X.shape
     N = M if n_src is None else int(n_src)
     if not 1 <= N <= M:
         raise ValueError("need 1 <= n_src <= n_chan")
     Xd = _to_device(X, np.dtype(dtype or DEFAULT_DTYPE))
     re, im = _iss_batch_jit(Xd, N, int(n_iter), model, bool(proj_back))
-    return merge_np(np.asarray(re), np.asarray(im))
+    return _from_jit(re, im, device)
 
 
 def overiva_iss_batch(X, n_src, **kw):
@@ -1542,16 +1616,18 @@ def ogive_batch(
     switch_every=10,
     return_epochs=False,
     dtype=None,
+    device=False,
 ):
     """Batch of same-shape mixtures through OGIVE in ONE fused XLA program.
 
     The per-element early exit is preserved: converged mixtures freeze while
     the batched while_loop runs on for the rest (models/ogive.py body
     masking). ``return_epochs`` additionally returns each element's
-    iteration count. X: (batch, T, F, M) -> (batch, T, F, 1)."""
+    iteration count. X: (batch, T, F, M) -> (batch, T, F, 1). Accepts
+    :func:`to_device` arrays; ``device=True`` keeps the result on device."""
     if update not in ("demix", "mix", "switching"):
         raise ValueError(f"unknown update mode {update!r}")
-    X = np.asarray(X)
+    X = _ensure(X)
     cdtype = np.dtype(dtype or DEFAULT_DTYPE)
     rdtype = real_dtype_of(cdtype)
     Xd = _to_device(X, cdtype)
@@ -1560,7 +1636,7 @@ def ogive_batch(
         int(n_iter), model, update, int(switch_every), bool(init_eig),
         bool(proj_back),
     )
-    Y = merge_np(np.asarray(re), np.asarray(im))
+    Y = _from_jit(re, im, device)
     if return_epochs:
         return Y, np.asarray(epochs)
     return Y
@@ -1585,14 +1661,16 @@ def _five_batch_jit(X, n_iter, model, proj_back):
     return jnp.real(Y), jnp.imag(Y)
 
 
-def five_batch(X, n_iter=10, proj_back=True, model="laplace", dtype=None):
+def five_batch(X, n_iter=10, proj_back=True, model="laplace", dtype=None,
+               device=False):
     """Batch of same-shape mixtures through FIVE in ONE fused XLA program.
 
-    X: (batch, T, F, M) -> (batch, T, F, 1)."""
-    X = np.asarray(X)
+    X: (batch, T, F, M) -> (batch, T, F, 1). Accepts :func:`to_device`
+    arrays; ``device=True`` keeps the result on device."""
+    X = _ensure(X)
     Xd = _to_device(X, np.dtype(dtype or DEFAULT_DTYPE))
     re, im = _five_batch_jit(Xd, int(n_iter), model, bool(proj_back))
-    return merge_np(np.asarray(re), np.asarray(im))
+    return _from_jit(re, im, device)
 
 
 @partial(
@@ -1626,14 +1704,17 @@ def ilrma_batch(
     seeds=None,
     dtype=None,
     wcov="f32",
+    device=False,
 ):
     """Batch of same-shape mixtures through ILRMA in ONE fused XLA program.
 
     X: (batch, T, F, M) -> (batch, T, F, M). Element b's NMF init matches
     ``ilrma(X[b], seed=seed + b)`` — or ``seed=seeds[b]`` when an explicit
     per-element ``seeds`` sequence is given (the sweep harness uses
-    ``seeds=[s]*B`` to reproduce its single-instance runs exactly)."""
-    X = np.asarray(X)
+    ``seeds=[s]*B`` to reproduce its single-instance runs exactly).
+    Accepts :func:`to_device` arrays; ``device=True`` keeps the result on
+    device."""
+    X = _ensure(X)
     B, T, F, M = X.shape
     N = M if n_src is None else int(n_src)
     if N != M:
@@ -1659,7 +1740,7 @@ def ilrma_batch(
         Xd, jnp.asarray(B0), jnp.asarray(H0), int(n_iter), bool(proj_back),
         str(wcov),
     )
-    return merge_np(np.asarray(re), np.asarray(im))
+    return _from_jit(re, im, device)
 
 
 @partial(
@@ -1702,11 +1783,13 @@ def auxiva_pca_batch(
     model="laplace",
     inner="ip",
     dtype=None,
+    device=False,
 ):
     """Batch of same-shape mixtures through PCA+AuxIVA in ONE fused XLA
     program. X: (batch, T, F, M) -> (batch, T, F, n_src); projection back
-    is against the original mic 0 (see :func:`auxiva_pca`)."""
-    X = np.asarray(X)
+    is against the original mic 0 (see :func:`auxiva_pca`). Accepts
+    :func:`to_device` arrays; ``device=True`` keeps the result on device."""
+    X = _ensure(X)
     B, T, F, M = X.shape
     N = M if n_src is None else int(n_src)
     if not 1 <= N <= M:
@@ -1717,4 +1800,4 @@ def auxiva_pca_batch(
     re, im = _auxiva_pca_batch_jit(
         Xd, N, int(n_iter), model, inner, bool(proj_back)
     )
-    return merge_np(np.asarray(re), np.asarray(im))
+    return _from_jit(re, im, device)

@@ -28,6 +28,7 @@ from jax import lax
 
 from ..ops.covariance import weighted_covariance_tf
 from ..ops.fminor import (
+    clamp_pow2_fm,
     gauss_solve_fm,
     matmul_fm,
     to_fmajor,
@@ -174,6 +175,7 @@ def _epoch(X, Q, g, W, H, axis_name=None, bin_mask=None, wcov: str = "f32",
             QV = matmul_fm(Qp, Vp)
             rhs = jnp.broadcast_to(e[:, m, None, None], (M, 1, F))
             q = gauss_solve_fm(QV, rhs)[:, 0, :]  # (M, F)
+            q = clamp_pow2_fm(q)  # overflow guard, exact (models/overiva.py)
             nrm = jnp.sum(
                 jnp.conj(q)[:, None, :] * Vp * q[None, :, :], axis=(0, 1)
             )

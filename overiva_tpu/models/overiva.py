@@ -22,6 +22,7 @@ from jax import lax
 
 from ..ops.covariance import covariance, weighted_covariance_all
 from ..ops.fminor import (
+    clamp_pow2_fm,
     gauss_solve_fm,
     mat_h_fm,
     matmul_fm,
@@ -30,7 +31,14 @@ from ..ops.fminor import (
     to_fminor,
     vecmat_fm,
 )
-from ..ops.linalg import PRECISION, align_eigvec_phase, eigh, mat_h, solve_mat
+from ..ops.linalg import (
+    PRECISION,
+    align_eigvec_phase,
+    clamp_pow2,
+    eigh,
+    mat_h,
+    solve_mat,
+)
 from .source_models import activations_from_power, power
 
 __all__ = [
@@ -56,7 +64,8 @@ def _update_J(W_hat, Cx, n_src: int, tmp=None):
     if tmp is None:
         W1 = W_hat[:, :N, :]
         tmp = jnp.matmul(W1, Cx, precision=PRECISION)  # (F, N, M)
-    J_H = solve_mat(tmp[:, :, :N], tmp[:, :, N:])  # (F, N, M-N)
+    # clamp: singular OC -> huge J -> downstream f32 overflow (see _epoch)
+    J_H = clamp_pow2(solve_mat(tmp[:, :, :N], tmp[:, :, N:]))  # (F, N, M-N)
     return W_hat.at[:, N:, :N].set(mat_h(J_H))
 
 
@@ -147,15 +156,30 @@ def _epoch(
         WV = matmul_fm(Wp, Vp)
         rhs = jnp.broadcast_to(e[:, k, None, None], (M, 1, F))
         w = gauss_solve_fm(WV, rhs)[:, 0, :]  # (M, F)
+        # knife-edge bins give a huge w whose quadratic form would overflow
+        # f32 -> NaN; exact power-of-2 rescale (bit-no-op on healthy bins,
+        # and the normalization below cancels any scale)
+        w = clamp_pow2_fm(w)
         denom = jnp.sum(
             jnp.conj(w)[:, None, :] * Vp * w[None, :, :], axis=(0, 1)
         )  # (F,)
-        w = w / jnp.sqrt(jnp.real(denom)).astype(w.real.dtype)[None, :]
+        # V is PSD only up to f32 rounding: a near-null direction can give
+        # real(denom) <= 0 -> sqrt NaN poisoning the whole run. Floor at the
+        # smallest normal float (binds only on knife-edge bins; the solve
+        # floors in ops/fminor.py keep w finite on exactly-singular WV).
+        denom_r = jnp.maximum(
+            jnp.real(denom), jnp.finfo(w.real.dtype).tiny
+        )
+        w = w / jnp.sqrt(denom_r).astype(w.real.dtype)[None, :]
         Wp = set_row(Wp, k, jnp.conj(w))
         if N < M:
             row = vecmat_fm(jnp.conj(w), Cxp)  # (M, F)
             tmp = set_row(tmp, k, row)
-            J_H = solve_mat_fm(tmp[:, :N, :], tmp[:, N:, :])  # (N, M-N, F)
+            # clamp: a singular OC system gives huge J -> next-epoch f32
+            # overflow; finite garbage instead (bit-no-op on healthy bins)
+            J_H = clamp_pow2_fm(
+                solve_mat_fm(tmp[:, :N, :], tmp[:, N:, :])
+            )  # (N, M-N, F)
             # rebuild the background rows [J, -I] with static concats (the
             # -I block is constant) instead of a strided block .at[].set
             negI = jnp.broadcast_to(

@@ -19,6 +19,7 @@ from jax import lax
 
 from ..ops.covariance import weighted_covariance_all
 from ..ops.fminor import (
+    clamp_pow2_fm,
     gauss_solve_fm,
     mat_h_fm,
     matmul_fm,
@@ -72,8 +73,12 @@ def _pair_update(Wp, Vp_i, Vp_j, i: int, j: int):
     dtype = Wp.dtype
     E = jnp.zeros((M, 2), dtype).at[i, 0].set(1.0).at[j, 1].set(1.0)
     Et = jnp.broadcast_to(E[:, :, None], (M, 2, F))
-    P_i = gauss_solve_fm(matmul_fm(Wp, Vp_i), Et)  # (M, 2, F)
-    P_j = gauss_solve_fm(matmul_fm(Wp, Vp_j), Et)
+    # clamp_pow2_fm: knife-edge bins give huge P whose Gram G = P^H V P
+    # overflows f32 -> NaN; P's per-bin scale cancels exactly through the
+    # generalized-eigen + _h normalization (w = P h), and a power-of-2
+    # rescale is a bit-no-op on healthy bins
+    P_i = clamp_pow2_fm(gauss_solve_fm(matmul_fm(Wp, Vp_i), Et))  # (M, 2, F)
+    P_j = clamp_pow2_fm(gauss_solve_fm(matmul_fm(Wp, Vp_j), Et))
     G_i = matmul_fm(mat_h_fm(P_i), matmul_fm(Vp_i, P_i))  # (2, 2, F)
     G_j = matmul_fm(mat_h_fm(P_j), matmul_fm(Vp_j, P_j))
     _, Vv = _gevd_2x2_fm(G_j, G_i)
@@ -97,7 +102,10 @@ def _reimpose_oc(Wp, Cxp, n_src: int):
     M, _, F = Wp.shape
     N = n_src
     tmp = matmul_fm(Wp[:N], Cxp)  # (N, M, F)
-    J_H = solve_mat_fm(tmp[:, :N, :], tmp[:, N:, :])  # (N, M-N, F)
+    # a singular OC system (rank-deficient Cx) gives a huge J whose
+    # next-epoch products overflow f32; J is garbage there either way —
+    # keep it finite garbage (exact rescale, bit-no-op on healthy bins)
+    J_H = clamp_pow2_fm(solve_mat_fm(tmp[:, :N, :], tmp[:, N:, :]))
     negI = jnp.broadcast_to(
         (-jnp.eye(M - N, dtype=Wp.dtype))[:, :, None], (M - N, M - N, F)
     )

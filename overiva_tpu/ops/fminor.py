@@ -29,6 +29,7 @@ __all__ = [
     "matvec_fm",
     "vecmat_fm",
     "gauss_solve_fm",
+    "clamp_pow2_fm",
     "solve_vec_fm",
     "solve_mat_fm",
     "replace_row",
@@ -76,8 +77,50 @@ def vecmat_fm(x, A):
     return jnp.sum(x[:, None, :] * A, axis=0)
 
 
+def _dead(den, scale, order: int = 1):
+    """(guarded denominator, ok mask) for the dead-bin convention.
+
+    A pivot/determinant below ``eps * scale^order`` means the system is
+    numerically rank-deficient in f32: the solve writes ZEROS there (a
+    "dead bin" — the IVA chain's renormalization floors turn a zero row
+    into a zero output that later epochs re-aim), because dividing by a
+    floored-tiny value creates ~1e37 rows that overflow downstream f32
+    arithmetic into NaN (docs/DESIGN.md §4b). Healthy bins (pivot well
+    above eps*scale) are bit-unchanged.
+    """
+    eps = jnp.finfo(
+        den.dtype if not jnp.iscomplexobj(den) else den.real.dtype
+    ).eps
+    thr = eps * scale
+    for _ in range(order - 1):
+        thr = thr * scale
+    ok = jnp.abs(den) > thr
+    return jnp.where(ok, den, 1.0), ok
+
+
+def clamp_pow2_fm(A, threshold_exp: float = 20.0):
+    """Exact power-of-2 down-scaling of huge bin-minor tensors (..., F).
+
+    Near-dead bins (pivot just above the ``_dead`` threshold) can make the
+    IP solve output huge, overflowing the f32 quadratic form
+    ``w^H V w`` to NaN. Call sites are scale-invariant (the IP
+    normalization cancels any per-bin scale exactly), so bins with
+    max|.| > 2^threshold_exp are divided by a power of two — an EXACT
+    float operation, leaving healthy bins bit-unchanged.
+    """
+    mag = jnp.max(jnp.abs(A), axis=tuple(range(A.ndim - 1)), keepdims=True)
+    exp = jnp.ceil(jnp.log2(jnp.maximum(mag, 1.0)))
+    exp = jnp.minimum(exp, 120.0)  # keep the scale itself finite in f32
+    scale = jnp.exp2(jnp.where(exp > threshold_exp, exp, 0.0))
+    return A / scale.astype(A.real.dtype)
+
+
 def _adj2_solve(A, B):
-    det = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
+    det, ok = _dead(
+        A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0],
+        jnp.max(jnp.abs(A), axis=(0, 1)),
+        order=2,
+    )
     inv = jnp.stack(
         [
             jnp.stack([A[1, 1], -A[0, 1]], axis=0),
@@ -85,6 +128,7 @@ def _adj2_solve(A, B):
         ],
         axis=0,
     ) / det[None, None, :]
+    inv = jnp.where(ok[None, None, :], inv, 0.0)
     return matmul_fm(inv, B)
 
 
@@ -101,7 +145,11 @@ def _adj3_solve(A, B):
     co20 = d * h - e * g
     co21 = b * g - a * h
     co22 = a * e - b * d
-    det = a * co00 + b * co10 + c * co20
+    det, ok = _dead(
+        a * co00 + b * co10 + c * co20,
+        jnp.max(jnp.abs(A), axis=(0, 1)),
+        order=3,
+    )
     inv = jnp.stack(
         [
             jnp.stack([co00, co01, co02], axis=0),
@@ -110,6 +158,7 @@ def _adj3_solve(A, B):
         ],
         axis=0,
     ) / det[None, None, :]
+    inv = jnp.where(ok[None, None, :], inv, 0.0)
     return matmul_fm(inv, B)
 
 
@@ -123,7 +172,8 @@ def gauss_solve_fm(A, B):
     """
     m = A.shape[0]
     if m == 1:
-        return B / A[0, 0][None, None, :]
+        den, ok = _dead(A[0, 0], jnp.abs(A[0, 0]))
+        return jnp.where(ok[None, None, :], B / den[None, None, :], 0.0)
     if m == 2:
         return _adj2_solve(A, B)
     if m == 3:
@@ -131,6 +181,7 @@ def gauss_solve_fm(A, B):
     F = A.shape[2]
     k = B.shape[1]
     Ab = jnp.concatenate([A, B], axis=1)  # (m, m+k, F)
+    scale0 = jnp.max(jnp.abs(A), axis=(0, 1))  # (F,) dead-pivot reference
     avail = jnp.ones((m, F), bool)
     sels = []
     rows = jnp.arange(m)
@@ -139,7 +190,8 @@ def gauss_solve_fm(A, B):
         p = jnp.argmax(mag, axis=0).astype(jnp.int32)  # (F,)
         sel = rows[:, None] == p[None, :]  # (m, F) one-hot over rows
         piv = jnp.sum(jnp.where(sel[:, None, :], Ab, 0.0), axis=0)  # (m+k, F)
-        piv = piv / piv[i][None, :]
+        den, ok = _dead(piv[i], scale0)  # rank-deficient -> zero the row
+        piv = jnp.where(ok[None, :], piv / den[None, :], 0.0)
         factor = jnp.where(sel, 0.0, Ab[:, i, :])  # (m, F)
         Ab = Ab - factor[:, None, :] * piv[None, :, :]
         Ab = jnp.where(sel[:, None, :], piv[None, :, :], Ab)

@@ -33,6 +33,36 @@ def matvec(A, x):
     return jnp.einsum("...mn,...n->...m", A, x, precision=PRECISION)
 
 
+def _dead(den, scale, order: int = 1):
+    """(guarded denominator, ok mask): F-major twin of
+    ``ops.fminor._dead`` — pivots/determinants below ``eps * scale^order``
+    mark a numerically rank-deficient bin whose solution is written as
+    ZEROS (dead bin) instead of inf/NaN or overflow-bound huge values
+    (docs/DESIGN.md §4b). Healthy bins are bit-unchanged."""
+    eps = jnp.finfo(
+        den.dtype if not jnp.iscomplexobj(den) else den.real.dtype
+    ).eps
+    thr = eps * scale
+    for _ in range(order - 1):
+        thr = thr * scale
+    ok = jnp.abs(den) > thr
+    return jnp.where(ok, den, 1.0), ok
+
+
+def clamp_pow2(A, threshold_exp: float = 20.0):
+    """Exact power-of-2 down-scaling of huge F-major tensors (F, ...).
+
+    F-major twin of ``ops.fminor.clamp_pow2_fm`` (see there): keeps
+    knife-edge bins' solve outputs small enough that downstream f32
+    quadratic forms can't overflow, while healthy bins are bit-unchanged.
+    """
+    mag = jnp.max(jnp.abs(A), axis=tuple(range(1, A.ndim)), keepdims=True)
+    exp = jnp.ceil(jnp.log2(jnp.maximum(mag, 1.0)))
+    exp = jnp.minimum(exp, 120.0)
+    scale = jnp.exp2(jnp.where(exp > threshold_exp, exp, 0.0))
+    return A / scale.astype(A.real.dtype)
+
+
 def gauss_solve(A, B):
     """Batched small-matrix solve A X = B by Gauss-Jordan with partial pivoting.
 
@@ -52,9 +82,14 @@ def gauss_solve(A, B):
     """
     F, m, _ = A.shape
     if m == 1:
-        return B / A[:, :, 0:1]
+        den, ok = _dead(A[:, :, 0:1], jnp.abs(A[:, :, 0:1]))
+        return jnp.where(ok, B / den, 0.0)
     if m == 2:
-        det = A[:, 0, 0] * A[:, 1, 1] - A[:, 0, 1] * A[:, 1, 0]
+        det, ok = _dead(
+            A[:, 0, 0] * A[:, 1, 1] - A[:, 0, 1] * A[:, 1, 0],
+            jnp.max(jnp.abs(A), axis=(1, 2)),
+            order=2,
+        )
         inv = (
             jnp.stack(
                 [
@@ -65,6 +100,7 @@ def gauss_solve(A, B):
             )
             / det[:, None, None]
         )
+        inv = jnp.where(ok[:, None, None], inv, 0.0)
         return jnp.matmul(inv, B, precision=PRECISION)
     if m == 3:
         a, b, c = A[:, 0, 0], A[:, 0, 1], A[:, 0, 2]
@@ -79,7 +115,11 @@ def gauss_solve(A, B):
         co20 = d * h - e * g
         co21 = b * g - a * h
         co22 = a * e - b * d
-        det = a * co00 + b * co10 + c * co20
+        det, ok = _dead(
+            a * co00 + b * co10 + c * co20,
+            jnp.max(jnp.abs(A), axis=(1, 2)),
+            order=3,
+        )
         inv = jnp.stack(
             [
                 jnp.stack([co00, co01, co02], axis=1),
@@ -88,8 +128,10 @@ def gauss_solve(A, B):
             ],
             axis=1,
         ) / det[:, None, None]
+        inv = jnp.where(ok[:, None, None], inv, 0.0)
         return jnp.matmul(inv, B, precision=PRECISION)
     Ab = jnp.concatenate([A, B], axis=2)  # (F, m, m+k)
+    scale0 = jnp.max(jnp.abs(A), axis=(1, 2))  # (F,) dead-pivot reference
     avail = jnp.ones((F, m), bool)  # rows not yet chosen as pivots
     perm = jnp.zeros((F, m), jnp.int32)  # perm[i] = tableau row of solution i
     rows = jnp.arange(m)
@@ -99,7 +141,8 @@ def gauss_solve(A, B):
         p = jnp.argmax(mag, axis=1).astype(jnp.int32)  # (F,)
         sel = rows[None, :] == p[:, None]  # (F, m) one-hot
         piv_row = jnp.sum(jnp.where(sel[:, :, None], Ab, 0.0), axis=1)
-        piv_row = piv_row / piv_row[:, i][:, None]
+        den, ok = _dead(piv_row[:, i], scale0)  # rank-deficient -> zero row
+        piv_row = jnp.where(ok[:, None], piv_row / den[:, None], 0.0)
         factor = jnp.where(sel, 0.0, Ab[:, :, i])  # keep the pivot row itself
         Ab = Ab - factor[:, :, None] * piv_row[:, None, :]
         Ab = jnp.where(sel[:, :, None], piv_row[:, None, :], Ab)

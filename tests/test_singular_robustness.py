@@ -1,0 +1,62 @@
+"""Knife-edge robustness: singular systems must yield finite output, never
+NaN/inf poisoning (docs/DESIGN.md §4b; observed in the WASPAA sweep on
+overiva-gauss m8_n3 / overiva-ip2 m2_n2 before the _safe_denom floors)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from overiva_tpu import api
+from overiva_tpu.ops.fminor import gauss_solve_fm
+from overiva_tpu.ops.linalg import gauss_solve
+
+
+@pytest.mark.parametrize("m", [1, 2, 3, 5, 8])
+def test_gauss_solve_singular_is_finite(m):
+    """Exactly singular (rank-1 or zero) systems: finite output, no NaN."""
+    rng = np.random.default_rng(0)
+    F = 7
+    u = rng.standard_normal((F, m)) + 1j * rng.standard_normal((F, m))
+    A1 = (u[:, :, None] * u[:, None, :].conj()).astype(np.complex64)  # rank 1
+    A0 = np.zeros((F, m, m), np.complex64)
+    B = (rng.standard_normal((F, m, 2)) + 0j).astype(np.complex64)
+    for A in (A1, A0):
+        X = np.asarray(gauss_solve(jnp.asarray(A), jnp.asarray(B)))
+        assert np.all(np.isfinite(X)), "F-major solve produced NaN/inf"
+        Xf = np.asarray(
+            gauss_solve_fm(
+                jnp.asarray(A.transpose(1, 2, 0)),
+                jnp.asarray(B.transpose(1, 2, 0)),
+            )
+        )
+        assert np.all(np.isfinite(Xf)), "bin-minor solve produced NaN/inf"
+
+
+def test_gauss_solve_regular_unchanged():
+    """Floors must not perturb well-conditioned solves."""
+    rng = np.random.default_rng(1)
+    F, m = 11, 4
+    A = rng.standard_normal((F, m, m)) + 1j * rng.standard_normal((F, m, m))
+    A = (A @ A.conj().transpose(0, 2, 1) + 3 * np.eye(m)).astype(np.complex64)
+    B = (rng.standard_normal((F, m, 3)) + 0j).astype(np.complex64)
+    X = np.asarray(gauss_solve(jnp.asarray(A), jnp.asarray(B)))
+    ref = np.linalg.solve(A.astype(np.complex128), B.astype(np.complex128))
+    np.testing.assert_allclose(X, ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("algo,kw", [
+    ("overiva", {"model": "gauss", "init_eig": True, "n_src": 2}),
+    ("overiva_ip2", {"n_src": 2}),
+    ("ilrma", {}),
+])
+def test_degenerate_mixture_stays_finite(algo, kw):
+    """A mixture with a duplicated channel (rank-deficient Cx -> singular
+    update systems) must come out finite; pre-floor code NaN'd here."""
+    rng = np.random.default_rng(2)
+    T, F, M = 40, 17, 4
+    X = (rng.standard_normal((T, F, M)) + 1j * rng.standard_normal((T, F, M)))
+    X[:, :, -1] = X[:, :, -2]  # duplicated mic
+    X = X.astype(np.complex64)
+    Y = getattr(api, algo)(X, n_iter=8, **kw)
+    assert np.all(np.isfinite(Y)), f"{algo} produced NaN/inf on singular mix"
