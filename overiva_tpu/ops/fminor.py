@@ -77,23 +77,28 @@ def vecmat_fm(x, A):
     return jnp.sum(x[:, None, :] * A, axis=0)
 
 
-def _dead(den, scale, order: int = 1):
+def _dead(den, ref):
     """(guarded denominator, ok mask) for the dead-bin convention.
 
-    A pivot/determinant below ``eps * scale^order`` means the system is
-    numerically rank-deficient in f32: the solve writes ZEROS there (a
+    A pivot/determinant below ``sqrt(tiny) * ref`` (~1e-19 relative in
+    f32) is an essentially-exact zero: the solve writes ZEROS there (a
     "dead bin" — the IVA chain's renormalization floors turn a zero row
     into a zero output that later epochs re-aim), because dividing by a
     floored-tiny value creates ~1e37 rows that overflow downstream f32
-    arithmetic into NaN (docs/DESIGN.md §4b). Healthy bins (pivot well
-    above eps*scale) are bit-unchanged.
+    arithmetic into NaN (docs/DESIGN.md §4b). ``ref`` is the natural
+    magnitude of the numerator the denominator will divide (matrix scale
+    for pivots, max-cofactor * scale for adjugate determinants), so the
+    quotient stays below ~1e19 and the pow-2 clamps take it from there.
+
+    The threshold is deliberately FAR below any legitimate conditioning:
+    ill-conditioned-but-nonsingular bins (cond 1e6-1e18) keep producing
+    their usual low-accuracy solutions — IVA's renormalization uses them
+    productively, and zeroing them was measured to cost several dB on
+    near-rank-1 weighted covariances (strong bins of N=1 runs, where
+    det << max|A|^m is the healthy state).
     """
-    eps = jnp.finfo(
-        den.dtype if not jnp.iscomplexobj(den) else den.real.dtype
-    ).eps
-    thr = eps * scale
-    for _ in range(order - 1):
-        thr = thr * scale
+    rd = den.dtype if not jnp.iscomplexobj(den) else den.real.dtype
+    thr = jnp.sqrt(jnp.finfo(rd).tiny) * ref
     ok = jnp.abs(den) > thr
     return jnp.where(ok, den, 1.0), ok
 
@@ -116,11 +121,8 @@ def clamp_pow2_fm(A, threshold_exp: float = 20.0):
 
 
 def _adj2_solve(A, B):
-    det, ok = _dead(
-        A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0],
-        jnp.max(jnp.abs(A), axis=(0, 1)),
-        order=2,
-    )
+    s = jnp.max(jnp.abs(A), axis=(0, 1))
+    det, ok = _dead(A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0], s * s)
     inv = jnp.stack(
         [
             jnp.stack([A[1, 1], -A[0, 1]], axis=0),
@@ -145,11 +147,14 @@ def _adj3_solve(A, B):
     co20 = d * h - e * g
     co21 = b * g - a * h
     co22 = a * e - b * d
-    det, ok = _dead(
-        a * co00 + b * co10 + c * co20,
-        jnp.max(jnp.abs(A), axis=(0, 1)),
-        order=3,
+    cos = jnp.stack(
+        [co00, co01, co02, co10, co11, co12, co20, co21, co22], axis=0
     )
+    # ref = max|cofactor| * scale: inv = adj/det, so this is the size of
+    # what det actually divides (NOT scale^3 — det << max|A|^3 is healthy
+    # for spread eigenvalues, e.g. near-rank-1 weighted covariances)
+    ref = jnp.max(jnp.abs(cos), axis=0) * jnp.max(jnp.abs(A), axis=(0, 1))
+    det, ok = _dead(a * co00 + b * co10 + c * co20, ref)
     inv = jnp.stack(
         [
             jnp.stack([co00, co01, co02], axis=0),
@@ -172,7 +177,7 @@ def gauss_solve_fm(A, B):
     """
     m = A.shape[0]
     if m == 1:
-        den, ok = _dead(A[0, 0], jnp.abs(A[0, 0]))
+        den, ok = _dead(A[0, 0], jnp.abs(A[0, 0]))  # dead only at exact 0
         return jnp.where(ok[None, None, :], B / den[None, None, :], 0.0)
     if m == 2:
         return _adj2_solve(A, B)

@@ -33,18 +33,15 @@ def matvec(A, x):
     return jnp.einsum("...mn,...n->...m", A, x, precision=PRECISION)
 
 
-def _dead(den, scale, order: int = 1):
+def _dead(den, ref):
     """(guarded denominator, ok mask): F-major twin of
-    ``ops.fminor._dead`` — pivots/determinants below ``eps * scale^order``
-    mark a numerically rank-deficient bin whose solution is written as
-    ZEROS (dead bin) instead of inf/NaN or overflow-bound huge values
-    (docs/DESIGN.md §4b). Healthy bins are bit-unchanged."""
-    eps = jnp.finfo(
-        den.dtype if not jnp.iscomplexobj(den) else den.real.dtype
-    ).eps
-    thr = eps * scale
-    for _ in range(order - 1):
-        thr = thr * scale
+    ``ops.fminor._dead`` — pivots/determinants below ``sqrt(tiny) * ref``
+    (essentially-exact zeros; ~1e-19 relative in f32) mark a bin whose
+    solution is written as ZEROS (dead bin) instead of inf/NaN. See the
+    fminor docstring for why the threshold must sit far below legitimate
+    ill-conditioning (docs/DESIGN.md §4b)."""
+    rd = den.dtype if not jnp.iscomplexobj(den) else den.real.dtype
+    thr = jnp.sqrt(jnp.finfo(rd).tiny) * ref
     ok = jnp.abs(den) > thr
     return jnp.where(ok, den, 1.0), ok
 
@@ -85,10 +82,9 @@ def gauss_solve(A, B):
         den, ok = _dead(A[:, :, 0:1], jnp.abs(A[:, :, 0:1]))
         return jnp.where(ok, B / den, 0.0)
     if m == 2:
+        s = jnp.max(jnp.abs(A), axis=(1, 2))
         det, ok = _dead(
-            A[:, 0, 0] * A[:, 1, 1] - A[:, 0, 1] * A[:, 1, 0],
-            jnp.max(jnp.abs(A), axis=(1, 2)),
-            order=2,
+            A[:, 0, 0] * A[:, 1, 1] - A[:, 0, 1] * A[:, 1, 0], s * s
         )
         inv = (
             jnp.stack(
@@ -115,11 +111,14 @@ def gauss_solve(A, B):
         co20 = d * h - e * g
         co21 = b * g - a * h
         co22 = a * e - b * d
-        det, ok = _dead(
-            a * co00 + b * co10 + c * co20,
-            jnp.max(jnp.abs(A), axis=(1, 2)),
-            order=3,
+        cos = jnp.stack(
+            [co00, co01, co02, co10, co11, co12, co20, co21, co22], axis=1
         )
+        # ref = max|cofactor| * scale (see ops/fminor._adj3_solve)
+        ref = jnp.max(jnp.abs(cos), axis=1) * jnp.max(
+            jnp.abs(A), axis=(1, 2)
+        )
+        det, ok = _dead(a * co00 + b * co10 + c * co20, ref)
         inv = jnp.stack(
             [
                 jnp.stack([co00, co01, co02], axis=1),

@@ -45,6 +45,46 @@ def test_gauss_solve_regular_unchanged():
     np.testing.assert_allclose(X, ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("m", [2, 3, 5, 8])
+@pytest.mark.parametrize("spread", [1e-4, 1e-6])
+def test_gauss_solve_spread_eigenvalues_not_zeroed(m, spread):
+    """Near-rank-1 Hermitian systems (large eigenvalue spread — the
+    healthy state of an N=1 weighted covariance) must be SOLVED, not
+    declared dead: an early eps*scale^m gate zeroed these and cost
+    3-8 dB on the N=1 sweep cells (docs/DESIGN.md 4b). At cond 1e4 the
+    solve must also be accurate; at cond 1e6 f32 keeps few digits (the
+    m<=3 adjugate forms amplify eps*cond), so only magnitude-level
+    agreement — which zeroing fails by 100% — is required."""
+    rng = np.random.default_rng(3)
+    F = 5
+    Q, _ = np.linalg.qr(
+        rng.standard_normal((F, m, m)) + 1j * rng.standard_normal((F, m, m))
+    )
+    ew = np.geomspace(1.0, spread, m)[None, :] * np.ones((F, 1))
+    A = (Q * ew[:, None, :]) @ Q.conj().transpose(0, 2, 1)
+    A = A.astype(np.complex64)
+    B = np.zeros((F, m, 1), np.complex64)
+    B[:, 0, 0] = 1.0
+    ref = np.linalg.solve(A.astype(np.complex128), B.astype(np.complex128))
+    tol = 0.05 if spread == 1e-4 else None
+    for X in (
+        np.asarray(gauss_solve(jnp.asarray(A), jnp.asarray(B))),
+        np.asarray(
+            gauss_solve_fm(
+                jnp.asarray(A.transpose(1, 2, 0)),
+                jnp.asarray(B.transpose(1, 2, 0)),
+            )
+        ).transpose(2, 0, 1),
+    ):
+        assert np.all(np.isfinite(X))
+        if tol is not None:
+            rel = np.abs(X - ref) / np.abs(ref).max(axis=(1, 2), keepdims=True)
+            assert rel.max() < tol, f"solve off by {rel.max():.2%}"
+        else:  # magnitude sanity: a zeroed bin is off by 10^6, not 10x
+            ratio = np.abs(X).max(axis=(1, 2)) / np.abs(ref).max(axis=(1, 2))
+            assert np.all((ratio > 0.1) & (ratio < 10.0)), ratio
+
+
 @pytest.mark.parametrize("algo,kw", [
     ("overiva", {"model": "gauss", "init_eig": True, "n_src": 2}),
     ("overiva_ip2", {"n_src": 2}),
