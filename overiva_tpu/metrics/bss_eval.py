@@ -181,12 +181,17 @@ def _db(num: np.ndarray, den: np.ndarray) -> np.ndarray:
     Denominators are energy differences computed by exact quadratic-form
     identities; rounding can leave them a hair negative when the true
     residual is zero, so anything <= 0 counts as a zero denominator.
+
+    A zero NUMERATOR wins over a zero denominator: an estimate carrying no
+    target energy at all (e.g. an all-zero signal, where num = den = 0)
+    scores -inf, not the +inf of the perfect-match branch.
     """
     shape = np.broadcast_shapes(np.shape(num), np.shape(den))
     num = np.broadcast_to(np.asarray(num, dtype=np.float64), shape)
     den = np.broadcast_to(np.asarray(den, dtype=np.float64), shape)
     out = np.full(shape, np.inf)
-    ok = den > 0
+    out[num <= 0] = -np.inf
+    ok = (den > 0) & (num > 0)
     with np.errstate(divide="ignore"):
         out[ok] = 10.0 * np.log10(num[ok] / den[ok])
     return out

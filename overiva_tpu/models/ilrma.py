@@ -25,7 +25,13 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.covariance import weighted_covariance_tf
-from ..ops.fminor import clamp_pow2_fm, gauss_solve_fm, matmul_fm, to_fminor
+from ..ops.fminor import (
+    clamp_pow2_fm,
+    gauss_solve_fm,
+    matmul_fm,
+    quad_form_fm,
+    to_fminor,
+)
 from ..ops.linalg import PRECISION
 from .overiva import demix
 
@@ -87,16 +93,14 @@ def _ilrma_epoch(X, state, axis_name=None, n_freq=None, bin_mask=None,
         rhs = jnp.broadcast_to(e[:, k, None, None], (M, 1, F))
         w = gauss_solve_fm(WV, rhs)[:, 0, :]  # (M, F)
         w = clamp_pow2_fm(w)  # overflow guard, exact (see models/overiva.py)
-        denom = jnp.sum(
-            jnp.conj(w)[:, None, :] * Vp * w[None, :, :], axis=(0, 1)
-        )  # (F,)
-        # f32 rounding can push real(denom) <= 0 on a knife-edge bin:
-        # floor at the smallest normal float so the row stays finite
-        # (models/overiva.py has the same guard; see ops/fminor._dead)
-        denom_r = jnp.maximum(
-            jnp.real(denom), jnp.finfo(w.real.dtype).tiny
-        )
-        w = w / jnp.sqrt(denom_r).astype(w.real.dtype)[None, :]
+        # guarded normalizer (see models/overiva.py): where the f32
+        # quadratic form has no significant bits, keep the previous row
+        # instead of writing an ~1e19x-amplified garbage one
+        denom_r, good = quad_form_fm(w, Vp)
+        w = w / jnp.sqrt(
+            jnp.where(good, denom_r, 1.0)
+        ).astype(w.real.dtype)[None, :]
+        w = jnp.where(good[None, :], w, jnp.conj(Wp[k]))
 
         # unit-power rescale: global mean over (t, f)
         yk = jnp.einsum("mf,tfm->tf", jnp.conj(w), X, precision=PRECISION)

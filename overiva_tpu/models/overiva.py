@@ -26,6 +26,7 @@ from ..ops.fminor import (
     gauss_solve_fm,
     mat_h_fm,
     matmul_fm,
+    quad_form_fm,
     solve_mat_fm,
     to_fmajor,
     to_fminor,
@@ -160,17 +161,18 @@ def _epoch(
         # f32 -> NaN; exact power-of-2 rescale (bit-no-op on healthy bins,
         # and the normalization below cancels any scale)
         w = clamp_pow2_fm(w)
-        denom = jnp.sum(
-            jnp.conj(w)[:, None, :] * Vp * w[None, :, :], axis=(0, 1)
-        )  # (F,)
-        # V is PSD only up to f32 rounding: a near-null direction can give
-        # real(denom) <= 0 -> sqrt NaN poisoning the whole run. Floor at the
-        # smallest normal float (binds only on knife-edge bins; the solve
-        # floors in ops/fminor.py keep w finite on exactly-singular WV).
-        denom_r = jnp.maximum(
-            jnp.real(denom), jnp.finfo(w.real.dtype).tiny
-        )
-        w = w / jnp.sqrt(denom_r).astype(w.real.dtype)[None, :]
+        # guarded normalizer: on knife-edge bins the quadratic form
+        # cancels to rounding noise (possibly <= 0); normalizing by it
+        # amplifies the row by up to ~1e19 and the blow-up propagates to
+        # every bin through the joint activations r within two epochs
+        # (the r3c m2_n2 all-zero collapse). Where the form has no
+        # significant bits, keep the previous row — the bin stays alive
+        # and may recover once the other rows move.
+        denom_r, good = quad_form_fm(w, Vp)
+        w = w / jnp.sqrt(
+            jnp.where(good, denom_r, 1.0)
+        ).astype(w.real.dtype)[None, :]
+        w = jnp.where(good[None, :], w, jnp.conj(Wp[k]))
         Wp = set_row(Wp, k, jnp.conj(w))
         if N < M:
             row = vecmat_fm(jnp.conj(w), Cxp)  # (M, F)

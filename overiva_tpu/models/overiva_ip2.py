@@ -23,6 +23,7 @@ from ..ops.fminor import (
     gauss_solve_fm,
     mat_h_fm,
     matmul_fm,
+    quad_form_fm,
     replace_row,
     solve_mat_fm,
     to_fmajor,
@@ -84,17 +85,26 @@ def _pair_update(Wp, Vp_i, Vp_j, i: int, j: int):
     _, Vv = _gevd_2x2_fm(G_j, G_i)
 
     def _h(v, G):
-        s = jnp.real(
-            jnp.sum(jnp.conj(v)[:, None, :] * G * v[None, :, :], axis=(0, 1))
-        )
-        return v / jnp.sqrt(jnp.maximum(s, 1e-30)).astype(v.real.dtype)[None, :]
+        # guarded normalizer (ops/fminor.quad_form_fm): an absolute floor
+        # here amplified knife-edge bins by ~1e15 and collapsed the whole
+        # instance through the joint activations (r3c m2_n2 regression)
+        s, good = quad_form_fm(v, G)
+        h = v / jnp.sqrt(
+            jnp.where(good, s, 1.0)
+        ).astype(v.real.dtype)[None, :]
+        return h, good
 
-    h_i = _h(Vv[:, 0, :], G_i)  # smaller-lam eigenvector -> source i
-    h_j = _h(Vv[:, 1, :], G_j)
+    h_i, good_i = _h(Vv[:, 0, :], G_i)  # smaller-lam eigenvector -> src i
+    h_j, good_j = _h(Vv[:, 1, :], G_j)
+    # the GEVD couples the pair: if either Gram is rounding noise, both
+    # candidate rows are garbage — keep the previous rows for those bins
+    good = good_i & good_j
     w_i = jnp.sum(P_i * h_i[None, :, :], axis=1)  # (M, F)
     w_j = jnp.sum(P_j * h_j[None, :, :], axis=1)
-    Wp = replace_row(Wp, i, jnp.conj(w_i))
-    return replace_row(Wp, j, jnp.conj(w_j))
+    row_i = jnp.where(good[None, :], jnp.conj(w_i), Wp[i])
+    row_j = jnp.where(good[None, :], jnp.conj(w_j), Wp[j])
+    Wp = replace_row(Wp, i, row_i)
+    return replace_row(Wp, j, row_j)
 
 
 def _reimpose_oc(Wp, Cxp, n_src: int):

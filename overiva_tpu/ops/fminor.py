@@ -30,6 +30,7 @@ __all__ = [
     "vecmat_fm",
     "gauss_solve_fm",
     "clamp_pow2_fm",
+    "quad_form_fm",
     "solve_vec_fm",
     "solve_mat_fm",
     "replace_row",
@@ -118,6 +119,31 @@ def clamp_pow2_fm(A, threshold_exp: float = 20.0):
     exp = jnp.minimum(exp, 120.0)  # keep the scale itself finite in f32
     scale = jnp.exp2(jnp.where(exp > threshold_exp, exp, 0.0))
     return A / scale.astype(A.real.dtype)
+
+
+def quad_form_fm(w, Vp):
+    """Guarded Hermitian quadratic form ``w^H V w`` per bin.
+
+    w: (m, F), Vp: (m, m, F). Returns ``(s, good)`` where s (F,) is the
+    real quadratic form and good (F,) bool marks bins where s carries
+    significant bits. On knife-edge bins the form cancels catastrophically:
+    the computed value can be <= 0 or pure rounding noise, and an absolute
+    floor (``tiny``) then amplifies the row by ~1e19 instead of normalizing
+    it — the runaway that collapsed the r3c sweep's m2_n2 ip2 instance
+    (all bins die through the cross-bin activation coupling within two
+    epochs). ``good`` compares s against the sum of its term magnitudes:
+    s <= 4*eps*ref means zero significant bits — the caller should keep
+    the previous row for those bins instead of writing a garbage one.
+    """
+    t = jnp.conj(w)[:, None, :] * Vp * w[None, :, :]  # (m, m, F)
+    tr = jnp.real(t)
+    s = jnp.sum(tr, axis=(0, 1))
+    # imaginary parts cancel exactly by Hermitian symmetry; the real-part
+    # term magnitudes measure the cancellation the sum went through
+    ref = jnp.sum(jnp.abs(tr), axis=(0, 1))
+    eps = jnp.finfo(s.dtype).eps
+    good = s > 4.0 * eps * ref
+    return s, good
 
 
 def _adj2_solve(A, B):

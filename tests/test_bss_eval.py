@@ -72,6 +72,19 @@ def test_permutation_recovered(sources):
     assert np.all(sdr > 100)
 
 
+def test_zero_estimate_scores_negative_inf(sources):
+    """An all-zero estimate carries no target energy: SDR/SIR must be -inf,
+    not the +inf of the zero-residual (perfect-match) branch. Regression for
+    the r3c sweep instance where a degenerate separation scored +inf."""
+    est = sources.copy()
+    est[1] = 0.0
+    sdr, sir, _, _ = bss_eval_sources(sources, est)
+    assert sdr[1] == -np.inf
+    assert sir[1] == -np.inf
+    # the healthy rows stay perfect matches
+    assert sdr[0] > 100 and sdr[2] > 100
+
+
 def test_shape_mismatch_raises(sources):
     with pytest.raises(ValueError):
         bss_eval_sources(sources, sources[:2])

@@ -8,7 +8,7 @@ import pytest
 import jax.numpy as jnp
 
 from overiva_tpu import api
-from overiva_tpu.ops.fminor import gauss_solve_fm
+from overiva_tpu.ops.fminor import gauss_solve_fm, quad_form_fm
 from overiva_tpu.ops.linalg import gauss_solve
 
 
@@ -85,6 +85,43 @@ def test_gauss_solve_spread_eigenvalues_not_zeroed(m, spread):
             assert np.all((ratio > 0.1) & (ratio < 10.0)), ratio
 
 
+def test_quad_form_guard():
+    """quad_form_fm: healthy forms are accurate with good=True; forms that
+    cancel to rounding noise report good=False (the caller then keeps the
+    old demixing row instead of normalizing by garbage — the fix for the
+    r3c m2_n2 batch collapse, where an absolute floor amplified knife-edge
+    rows by ~1e19 and the blow-up killed every bin through the joint
+    activations within two epochs)."""
+    rng = np.random.default_rng(7)
+    F, m = 9, 4
+    A = rng.standard_normal((F, m, m)) + 1j * rng.standard_normal((F, m, m))
+    V = (A @ A.conj().transpose(0, 2, 1) + np.eye(m)).astype(np.complex64)
+    w = (rng.standard_normal((F, m)) + 1j * rng.standard_normal((F, m))).astype(
+        np.complex64
+    )
+    s, good = quad_form_fm(
+        jnp.asarray(w.T), jnp.asarray(V.transpose(1, 2, 0))
+    )
+    ref = np.einsum("fi,fij,fj->f", w.conj(), V.astype(np.complex128), w).real
+    assert np.all(np.asarray(good))
+    np.testing.assert_allclose(np.asarray(s), ref, rtol=1e-5)
+
+    # catastrophic cancellation: V with a 1e12-spread spectrum and w in
+    # the near-null space -> f32 computes noise; the guard must trip
+    Q, _ = np.linalg.qr(
+        rng.standard_normal((F, m, m)) + 1j * rng.standard_normal((F, m, m))
+    )
+    ew = np.geomspace(1.0, 1e-12, m)[None, :] * np.ones((F, 1))
+    Vs = ((Q * ew[:, None, :]) @ Q.conj().transpose(0, 2, 1)).astype(
+        np.complex64
+    )
+    wn = Q[:, :, -1].astype(np.complex64) * 1e4  # null direction, large
+    _, good2 = quad_form_fm(
+        jnp.asarray(wn.T), jnp.asarray(Vs.transpose(1, 2, 0))
+    )
+    assert not np.any(np.asarray(good2)), "guard failed to trip"
+
+
 @pytest.mark.parametrize("algo,kw", [
     ("overiva", {"model": "gauss", "init_eig": True, "n_src": 2}),
     ("overiva_ip2", {"n_src": 2}),
@@ -100,3 +137,27 @@ def test_degenerate_mixture_stays_finite(algo, kw):
     X = X.astype(np.complex64)
     Y = getattr(api, algo)(X, n_iter=8, **kw)
     assert np.all(np.isfinite(Y)), f"{algo} produced NaN/inf on singular mix"
+
+
+@pytest.mark.parametrize("algo,kw", [
+    ("overiva", {"n_src": 2}),
+    ("overiva_ip2", {"n_src": 2}),
+    ("ilrma", {}),
+])
+def test_near_singular_mixing_no_collapse(algo, kw):
+    """Near-singular 2x2 mixing (columns almost parallel): every bin is
+    knife-edge, so the guarded normalizer must freeze unresolvable rows
+    rather than amplify them. Output must be finite AND carry energy —
+    the pre-guard code either NaN'd or (with the dead-bin gate alone)
+    collapsed to exact zeros within a few epochs."""
+    rng = np.random.default_rng(11)
+    T, F, M = 60, 33, 2
+    S = (rng.standard_normal((T, F, M)) + 1j * rng.standard_normal((T, F, M)))
+    mix_mat = np.array([[1.0, 1.0], [1.0, 1.0 + 3e-7]], np.complex64)
+    X = (S @ mix_mat.T).astype(np.complex64)
+    Y = np.asarray(getattr(api, algo)(X, n_iter=10, **kw))
+    assert np.all(np.isfinite(Y)), f"{algo} NaN/inf on near-singular mixing"
+    e = float(np.sum(np.abs(Y) ** 2))
+    assert e > 1e-6 * float(np.sum(np.abs(X) ** 2)), (
+        f"{algo} collapsed to (near-)zero output: energy {e:.3e}"
+    )
