@@ -31,6 +31,7 @@ from ..ops.fminor import (
     clamp_pow2_fm,
     gauss_solve_fm,
     matmul_fm,
+    quad_form_fm,
     to_fmajor,
     to_fminor,
 )
@@ -176,12 +177,14 @@ def _epoch(X, Q, g, W, H, axis_name=None, bin_mask=None, wcov: str = "f32",
             rhs = jnp.broadcast_to(e[:, m, None, None], (M, 1, F))
             q = gauss_solve_fm(QV, rhs)[:, 0, :]  # (M, F)
             q = clamp_pow2_fm(q)  # overflow guard, exact (models/overiva.py)
-            nrm = jnp.sum(
-                jnp.conj(q)[:, None, :] * Vp * q[None, :, :], axis=(0, 1)
-            )
+            # guarded normalizer (see models/overiva.py / DESIGN.md §4b):
+            # where the f32 quadratic form cancels to rounding noise, keep
+            # the previous row instead of amplifying a garbage one
+            nrm, good = quad_form_fm(q, Vp)
             q = q / jnp.sqrt(
-                jnp.maximum(jnp.real(nrm), _EPS)
+                jnp.where(good, jnp.maximum(nrm, _EPS), 1.0)
             ).astype(q.real.dtype)
+            q = jnp.where(good[None, :], q, jnp.conj(Qp[m]))
             # static-index row replacement (scatter-free — DESIGN.md §2b)
             Qp = jnp.concatenate(
                 [Qp[:m], jnp.conj(q)[None], Qp[m + 1 :]], axis=0
