@@ -185,6 +185,25 @@ class _InstanceEval:
         }
 
 
+# Transient TPU-tunnel dispatch failures observed in practice: the axon
+# plugin occasionally rejects an otherwise-valid device_put / execute with
+# one of these gRPC-ish statuses, and the identical call succeeds on retry.
+# Deterministic errors (shape/dtype bugs) carry other statuses and re-raise.
+_TRANSIENT_MARKERS = ("UNIMPLEMENTED", "FAILED_PRECONDITION", "UNAVAILABLE")
+
+
+def _reraise_if_transient(e: Exception):
+    """Let transient device errors escape the per-algo/per-lane capture so
+    the chunk-level retry (elastic recovery, SURVEY.md §5.3) re-runs the
+    chunk instead of recording a flake as an algorithm failure."""
+    import jax
+
+    if isinstance(e, jax.errors.JaxRuntimeError) and any(
+        m in str(e) for m in _TRANSIENT_MARKERS
+    ):
+        raise e
+
+
 def one_instance(cfg, seed, n_mics, n_src, rt60, snr, simulated=None):
     """Run every applicable algorithm on one (possibly pre-simulated) room."""
     nfft = cfg["nfft"]
@@ -204,6 +223,7 @@ def one_instance(cfg, seed, n_mics, n_src, rt60, snr, simulated=None):
             runtime = time.perf_counter() - t0
             results[name] = ev.score(Y, runtime, nfft)
         except Exception as e:  # a failed algo shouldn't kill the instance
+            _reraise_if_transient(e)
             results[name] = {"error": f"{type(e).__name__}: {e}"}
     return results
 
@@ -263,6 +283,7 @@ def batch_instances(cfg, group, simulated):
             device_sync(Yb)  # honest runtime: force execution, not dispatch
             runtime = (time.perf_counter() - t0) / B
         except Exception as e:  # a failed dispatch marks the whole group
+            _reraise_if_transient(e)
             for b in range(B):
                 results[b][name] = {"error": f"{type(e).__name__}: {e}"}
             continue
@@ -276,12 +297,42 @@ def batch_instances(cfg, group, simulated):
                 results[b][name] = evs[b].score_time(y, runtime)
                 results[b][name]["batched"] = B
             except Exception as e:
+                _reraise_if_transient(e)
                 results[b][name] = {"error": f"{type(e).__name__}: {e}"}
     return results
 
 
 def instance_key(seed, n_mics, n_src, rt60, snr):
     return f"s{seed}_m{n_mics}_n{n_src}_rt{rt60}_snr{snr}"
+
+
+def _run_chunk_retrying(cfg, chunk, simulated, run_chunk, run_sim, n_real,
+                        attempts: int = 3):
+    """Execute one sweep chunk, retrying transient device errors.
+
+    Elastic-recovery analog of the reference pool's crash-isolation
+    (SURVEY.md §5.3): a flaky dispatch loses one attempt, not the sweep.
+    """
+    import jax
+
+    for attempt in range(attempts):
+        try:
+            if len(run_chunk) == 1:
+                return [one_instance(cfg, *chunk[0], simulated=simulated[0])]
+            return batch_instances(cfg, run_chunk, run_sim)[:n_real]
+        except jax.errors.JaxRuntimeError as e:  # pragma: no cover - HW flake
+            msg = str(e)
+            transient = any(m in msg for m in _TRANSIENT_MARKERS)
+            if not transient or attempt == attempts - 1:
+                raise
+            wait = 5.0 * (attempt + 1)
+            print(
+                f"  transient device error ({msg.splitlines()[-1][:80]}); "
+                f"retrying chunk in {wait:.0f}s "
+                f"(attempt {attempt + 2}/{attempts})",
+                flush=True,
+            )
+            time.sleep(wait)
 
 
 def sweep(cfg: dict, out_dir: Path, prefetch: int = 2, batch: int | None = None):
@@ -351,10 +402,9 @@ def sweep(cfg: dict, out_dir: Path, prefetch: int = 2, batch: int | None = None)
             run_chunk = chunk + [chunk[i] for i in idx]
             run_sim = simulated + [simulated[i] for i in idx]
         t0 = time.perf_counter()
-        if len(run_chunk) == 1:
-            all_results = [one_instance(cfg, *chunk[0], simulated=simulated[0])]
-        else:
-            all_results = batch_instances(cfg, run_chunk, run_sim)[:n_real]
+        all_results = _run_chunk_retrying(
+            cfg, chunk, simulated, run_chunk, run_sim, n_real
+        )
         wall = (time.perf_counter() - t0) / n_real
         for g, results in zip(chunk, all_results):
             seed, n_mics, n_src, rt60, snr = g

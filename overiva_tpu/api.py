@@ -938,7 +938,9 @@ def sparseauxiva(
     from .models.sparseauxiva import sparse_reconstruct
     from .oracle.sparseauxiva import _resolve_n_bins, select_bins
 
-    X = np.asarray(X)
+    # host-side bin selection; see sparseauxiva_batch for why device
+    # inputs must come down via the real/imag-split fetch
+    X = _to_host(X) if isinstance(X, jax.Array) else np.asarray(X)
     T, F, M = X.shape
     N = M if n_src is None else int(n_src)
     if N != M:
@@ -1502,7 +1504,12 @@ def sparseauxiva_batch(
     """
     from .oracle.sparseauxiva import _resolve_n_bins, select_bins
 
-    X = np.asarray(X)
+    # Bin selection is host-side: pull device inputs down via the
+    # real/imag-split path. A raw np.asarray on a complex device array
+    # issues a complex host transfer, which the axon TPU tunnel handles
+    # unreliably (it intermittently poisons the stream: every subsequent
+    # device_put in the process then fails UNIMPLEMENTED).
+    X = _to_host(X) if isinstance(X, jax.Array) else np.asarray(X)
     B, T, F, M = X.shape
     N = M if n_src is None else int(n_src)
     if N != M:
