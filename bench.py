@@ -129,6 +129,38 @@ def main():
     check_finite(W)
     extra["overiva_T512_f32x3_it_s"] = round(N_ITER / t5x, 1)
 
+    # ---- batched serving throughput: 16 mixtures per fused program.
+    # The sweep/serving fan-out path (api.overiva_batch): dispatch overhead
+    # amortizes across the batch, so the per-mixture rate approaches the
+    # marginal rate. ----
+    B = 16
+    reb = np.stack([_make_mix(rng, 128, F, M)[0] for _ in range(B)])
+    imb = np.stack([_make_mix(rng, 128, F, M)[1] for _ in range(B)])
+    Xb = jax.jit(lambda r, i: r + 1j * i)(reb, imb)
+    prep_b = jax.jit(
+        lambda xb: jax.vmap(lambda x: _prepare(x, x[:0], N, False, True, False))(xb)
+    )
+    W_hatb, Cxb = prep_b(Xb)
+    run_b = jax.jit(
+        lambda xb, wb, cb: jax.vmap(
+            lambda x, w, c: overiva_iterations(x, w, c, N, N_ITER, "laplace")
+        )(xb, wb, cb)
+    )
+    t_b, Wb = timed(lambda: run_b(Xb, W_hatb, Cxb))
+    check_finite(Wb)
+    extra["overiva_batch16_it_s_per_mix"] = round(B * N_ITER / t_b, 1)
+
+    # ---- WPE dereverb front (extension, ops/wpe.py): full preprocessing
+    # pass at the realistic horizon — T=512, M=8, 5 taps, 2 iterations ----
+    from overiva_tpu.ops.wpe import wpe as _wpe_op
+
+    wpe_jit = jax.jit(
+        lambda x: _wpe_op(x, taps=5, delay=2, n_iter=2, diag_load=1e-5)
+    )
+    t_wpe, Yw = timed(lambda: wpe_jit(X5))
+    check_finite(Yw)
+    extra["wpe_T512_taps5_ms"] = round(t_wpe * 1e3, 1)
+
     # ---- OverIVA-IP2 (pairwise updates: ~0.55 ms/iter but 3-5x fewer
     # iterations to converge than IP1 — tests/test_ip2.py) ----
     from overiva_tpu.models.overiva_ip2 import overiva_ip2_iterations

@@ -211,6 +211,8 @@ def one_instance(cfg, seed, n_mics, n_src, rt60, snr, simulated=None):
     mix, premix = simulated or simulate_instance(cfg, seed, n_mics, n_src, rt60, snr)
 
     X = api.stft_analysis(stft_pad(mix, nfft, hop), nfft)
+    if cfg.get("wpe"):  # optional dereverb front (extension; see api.wpe)
+        X = api.wpe(X, **cfg["wpe"])
     ev = _InstanceEval(mix, premix, n_src)
 
     results = {}
@@ -264,6 +266,8 @@ def batch_instances(cfg, group, simulated):
     # and downloaded/re-uploaded its full complex output for synthesis.
     xb = np.stack([stft_pad(m, nfft, hop) for m, _ in simulated])
     Xd = api.stft_analysis_batch(xb, nfft, device=True)
+    if cfg.get("wpe"):  # optional dereverb front (extension; see api.wpe)
+        Xd = api.wpe_batch(Xd, device=True, **cfg["wpe"])
     evs = [
         _InstanceEval(mix, premix, n_src) for mix, premix in simulated
     ]

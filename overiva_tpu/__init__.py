@@ -57,8 +57,12 @@ _API = {
     "sparseauxiva_batch": "api",
     "ilrma_batch": "api",
     "auxiva_pca_batch": "api",
+    "wpe": "api",
+    "wpe_batch": "api",
     "OnlineAuxIVAISS": "api",
     "stft_analysis": "api",
+    "stft_analysis_batch": "api",
+    "to_device": "api",
     "stft_synthesis": "api",
     "projection_back": "api",
 }

@@ -36,6 +36,7 @@ from .models import ogive as _ogive_mod
 from .models import overiva as _core
 from .ops import projection as _proj
 from .ops import stft as _stft
+from .ops import wpe as _wpe_mod
 from .ops.covariance import WCOV_MODES
 from .ops.covariance import covariance as _covariance
 from .utils.packing import merge_np, real_dtype_of, split_np
@@ -73,6 +74,8 @@ __all__ = [
     "sparseauxiva_batch",
     "ilrma_batch",
     "auxiva_pca_batch",
+    "wpe",
+    "wpe_batch",
 ]
 
 DEFAULT_DTYPE = np.complex64
@@ -897,6 +900,50 @@ def ilrma(
 @partial(jax.jit, static_argnames=("m",))
 def _eye_like(X, m):
     return jnp.tile(jnp.eye(m, dtype=X.dtype), (X.shape[1], 1, 1))
+
+
+@partial(jax.jit, static_argnames=("taps", "delay", "n_iter", "diag_load"))
+def _wpe_jit(X, taps, delay, n_iter, diag_load):
+    Y = _wpe_mod.wpe(X, taps=taps, delay=delay, n_iter=n_iter,
+                     diag_load=diag_load)
+    return jnp.real(Y), jnp.imag(Y)
+
+
+def wpe(X, taps=10, delay=3, n_iter=3, diag_load=1e-5, dtype=None,
+        device=False):
+    """WPE dereverberation (extension; the reference repo has no dereverb
+    stage). X: (n_frames, n_freq, n_chan) complex STFT -> same shape, with
+    late reverberation subtracted by variance-normalized delayed linear
+    prediction (Nakatani et al. 2010; see ``oracle/wpe.py`` for the oracle
+    twin and the update equations).
+
+    Chain ``Y = wpe(X, device=True)`` into any ``*_batch``/separation call
+    to run dereverb + separation fully device-resident.
+    """
+    cdtype = np.dtype(dtype or DEFAULT_DTYPE)
+    Xd = _to_device(_ensure(X), cdtype)
+    re, im = _wpe_jit(Xd, int(taps), int(delay), int(n_iter),
+                      float(diag_load))
+    return _from_jit(re, im, device)
+
+
+def wpe_batch(X, taps=10, delay=3, n_iter=3, diag_load=1e-5, dtype=None,
+              device=False):
+    """Batched WPE: (B, n_frames, n_freq, n_chan) -> same. One vmapped
+    fused program over the batch axis (sweep-harness fan-out)."""
+    cdtype = np.dtype(dtype or DEFAULT_DTYPE)
+    Xd = _to_device(_ensure(X), cdtype)
+    re, im = _wpe_batch_jit(Xd, int(taps), int(delay), int(n_iter),
+                            float(diag_load))
+    return _from_jit(re, im, device)
+
+
+@partial(jax.jit, static_argnames=("taps", "delay", "n_iter", "diag_load"))
+def _wpe_batch_jit(X, taps, delay, n_iter, diag_load):
+    f = lambda x: _wpe_mod.wpe(x, taps=taps, delay=delay, n_iter=n_iter,
+                               diag_load=diag_load)
+    Y = jax.vmap(f)(X)
+    return jnp.real(Y), jnp.imag(Y)
 
 
 def sparseauxiva(

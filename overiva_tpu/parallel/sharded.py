@@ -35,6 +35,7 @@ from ..models import overiva as _core
 from ..models import overiva_ip2 as _ip2
 from ..models import sparseauxiva as _sparse
 from ..ops import projection as _proj
+from ..ops import wpe as _wpe
 from ..ops.covariance import covariance
 from ..ops.linalg import small_inv
 from .mesh import AXIS_BINS, AXIS_MIX
@@ -50,6 +51,7 @@ __all__ = [
     "sharded_fastmnmf2",
     "sharded_five",
     "sharded_sparseauxiva",
+    "sharded_wpe",
 ]
 
 
@@ -861,5 +863,60 @@ def sharded_sparseauxiva(
         jnp.asarray(lasso_lam, rdtype), mesh, int(F), int(nfft),
         int(n_causal), int(n_acausal), int(lasso_iter), int(polish_iter),
         model, bool(proj_back),
+    )
+    return Y[:, :, :F, :]
+
+
+# ------------------------------------------------------------------- WPE
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "taps", "delay", "n_iter", "diag_load"),
+)
+def _sharded_wpe_padded(X, mesh, taps, delay, n_iter, diag_load):
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=P(AXIS_MIX, None, AXIS_BINS, None),
+        out_specs=P(AXIS_MIX, None, AXIS_BINS, None),
+    )
+    def run(Xl):
+        f = lambda x: _wpe.wpe(
+            x, taps=taps, delay=delay, n_iter=n_iter, diag_load=diag_load
+        )
+        return jax.vmap(f)(Xl)
+
+    return run(X)
+
+
+def sharded_wpe(
+    mesh,
+    X_batch,
+    taps: int = 10,
+    delay: int = 3,
+    n_iter: int = 3,
+    diag_load: float = 1e-5,
+):
+    """WPE-dereverberate a batch of mixtures over the mesh.
+
+    X_batch: (B, T, F, M) complex -> (B, T, F, M). WPE is the
+    embarrassingly-parallel member of the family: the PSD estimate ``lam``
+    is a per-(t, f) mean over mics, so every frequency bin is fully local —
+    ZERO collectives on either mesh axis (SURVEY.md §2.4/§5.8 pattern,
+    degenerate case). Padded bins replicate the last bin (well-conditioned
+    solves) and are sliced off on the way out; no power masking is needed
+    because nothing is reduced across bins.
+    """
+    B, T, F, M = X_batch.shape
+    n_mix = mesh.shape[AXIS_MIX]
+    n_bins = mesh.shape[AXIS_BINS]
+    if B % n_mix != 0:
+        raise ValueError(f"batch {B} not divisible by mix axis {n_mix}")
+    F_pad, _ = pad_bins(F, n_bins)
+    if F_pad != F:
+        reps = jnp.repeat(X_batch[:, :, -1:, :], F_pad - F, axis=2)
+        X_batch = jnp.concatenate([X_batch, reps], axis=2)
+    Y = _sharded_wpe_padded(
+        X_batch, mesh, int(taps), int(delay), int(n_iter), float(diag_load)
     )
     return Y[:, :, :F, :]

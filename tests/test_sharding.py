@@ -183,3 +183,17 @@ def test_sharded_sparseauxiva_explicit_s_and_validation(batch):
         )
     )
     assert Y.shape == batch.shape and np.isfinite(Y).all()
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+def test_sharded_wpe_matches_single_device(batch, mesh_shape):
+    from overiva_tpu.parallel.sharded import sharded_wpe
+
+    assert len(jax.devices()) >= mesh_shape[0] * mesh_shape[1]
+    mesh = make_mesh(*mesh_shape, devices=jax.devices()[: mesh_shape[0] * mesh_shape[1]])
+    Y = np.asarray(sharded_wpe(mesh, jnp.asarray(batch), taps=3, delay=1, n_iter=2))
+    assert Y.shape == batch.shape
+    for b in range(batch.shape[0]):
+        Yref = api.wpe(batch[b], taps=3, delay=1, n_iter=2,
+                       dtype=np.complex128)
+        np.testing.assert_allclose(Y[b], Yref, rtol=1e-6, atol=1e-8)
