@@ -76,6 +76,11 @@ def main(argv=None):
         "synthetic speech-like signals are generated when omitted",
     )
     p.add_argument(
+        "--wpe", type=int, default=0, metavar="TAPS",
+        help="WPE dereverberation front with this many taps (0 = off); "
+        "delay 3, 2 iterations (api.wpe)",
+    )
+    p.add_argument(
         "--monitor", type=str, default=None, metavar="PNG",
         help="record per-iteration SDR/SIR via the callback and plot to PNG",
     )
@@ -130,6 +135,9 @@ def main(argv=None):
     hop = args.nfft // 2
     X = api.stft_analysis(stft_pad(mix, args.nfft, hop), args.nfft)
     print(f"mixture {mix.shape} -> STFT {X.shape}")
+    if args.wpe:
+        X = api.wpe(X, taps=args.wpe, delay=3, n_iter=2)
+        print(f"WPE front applied ({args.wpe} taps)")
 
     recorder = None
     if args.monitor:

@@ -1203,16 +1203,21 @@ def _fastmnmf2_snapshot(X, Q, g, W, H, x_scale, mic_index, n_out):
 @partial(
     jax.jit,
     static_argnames=(
-        "nfft", "hop", "n_src", "n_iter", "model", "init_eig", "algo"
+        "nfft", "hop", "n_src", "n_iter", "model", "init_eig", "algo",
+        "wpe_taps", "wpe_delay", "wpe_n_iter",
     ),
 )
-def _separate_time_jit(x, nfft, hop, n_src, n_iter, model, init_eig, algo="ip"):
+def _separate_time_jit(x, nfft, hop, n_src, n_iter, model, init_eig,
+                       algo="ip", wpe_taps=0, wpe_delay=3, wpe_n_iter=3):
     from .models.auxiva_iss import auxiva_iss_iterations
     from .models.overiva import overiva_run
     from .models.overiva_ip2 import overiva_ip2_iterations
     from .ops.projection import apply_projection_back
 
     X = _stft.analysis(x, nfft, hop)
+    if wpe_taps:  # fused dereverb front (still the same single XLA program)
+        X = _wpe_mod.wpe(X, taps=wpe_taps, delay=wpe_delay,
+                         n_iter=wpe_n_iter)
     if algo == "iss":  # rank-1 steering (OverIVA-ISS when n_src < M)
         M = X.shape[2]
         W = jnp.broadcast_to(jnp.eye(M, dtype=X.dtype), (X.shape[1], M, M))
@@ -1270,16 +1275,19 @@ def separate(
     init_eig=False,
     algo="ip",
     dtype=None,
+    wpe=None,
 ):
-    """Time-domain in, time-domain out: STFT -> separate -> projection
-    back -> iSTFT as ONE fused XLA program (zero host round-trips, no
-    complex at any boundary — the serving path).
+    """Time-domain in, time-domain out: STFT -> [WPE] -> separate ->
+    projection back -> iSTFT as ONE fused XLA program (zero host
+    round-trips, no complex at any boundary — the serving path).
 
     ``algo``: "ip" (OverIVA/AuxIVA iterative projection, reference-parity),
     "iss" (rank-1 source steering; OverIVA-ISS when n_src < n_chan),
     "ip2" (pairwise joint updates, 3-5x fewer iterations; n_src >= 2),
     or "fastmnmf"/"fastmnmf2" (full-rank spatial model, Wiener images at
     mic 0; NMF init from a fixed jax.random key, 30 epochs recommended).
+    ``wpe``: None, True, or a dict of :func:`wpe` options — fuses the
+    dereverberation front into the same program.
     mix: (n_samples, n_chan) float. Returns (n_samples, n_src) float.
     """
     if algo not in ("ip", "iss", "ip2", "fastmnmf", "fastmnmf2"):
@@ -1299,11 +1307,19 @@ def separate(
 
     from .oracle.stft import stft_pad
 
+    wkw = {"taps": 10, "delay": 3, "n_iter": 3}
+    if isinstance(wpe, dict):
+        bad = set(wpe) - {"taps", "delay", "n_iter"}
+        if bad:
+            raise ValueError(f"unknown wpe option(s): {sorted(bad)}")
+        wkw.update(wpe)
     xp = stft_pad(mix, nfft, hop).astype(rdtype)
     y = np.asarray(
         _separate_time_jit(
             jnp.asarray(xp), int(nfft), int(hop), N, int(n_iter), model,
             bool(init_eig), algo,
+            wpe_taps=int(wkw["taps"]) if wpe else 0,
+            wpe_delay=int(wkw["delay"]), wpe_n_iter=int(wkw["n_iter"]),
         )
     )
     start = nfft - hop
