@@ -33,6 +33,14 @@ from overiva_tpu.utils.cache import enable_persistent_cache
 
 enable_persistent_cache()
 
+import os
+
+if os.environ.get("OVERIVA_FORCE_CPU"):
+    # the axon plugin overrides JAX_PLATFORMS at import; config wins
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 from overiva_tpu import api
 from overiva_tpu.metrics import BssEvalReferences
 from overiva_tpu.oracle import stft_pad
