@@ -45,6 +45,11 @@ def main(argv=None):
     p.add_argument("--forget", type=float, default=0.99)
     p.add_argument("--fs", type=int, default=16000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--wpe", type=int, default=0, metavar="TAPS",
+        help="streaming WPE dereverberation front with this many taps "
+        "(0 = off; api.OnlineWPE, delay 2)",
+    )
     args = p.parse_args(argv)
 
     n = int(args.duration * args.fs)
@@ -64,6 +69,11 @@ def main(argv=None):
     sep = OnlineAuxIVAISS(
         n_freq=X.shape[1], n_chan=M, forget=args.forget, n_pass=2
     )
+    drv = None
+    if args.wpe:
+        from overiva_tpu.api import OnlineWPE
+
+        drv = OnlineWPE(n_freq=X.shape[1], n_chan=M, taps=args.wpe, delay=2)
 
     T = X.shape[0]
     B = args.block
@@ -74,7 +84,10 @@ def main(argv=None):
           f"({B * hop / args.fs * 1000:.0f} ms hop-equivalent latency)")
     for i, start in enumerate(range(0, T - B + 1, B)):
         t0 = time.perf_counter()
-        Y_blk = sep.process(X[start : start + B])
+        X_blk = X[start : start + B]
+        if drv is not None:
+            X_blk = drv.process(X_blk)
+        Y_blk = sep.process(X_blk)
         t_proc += time.perf_counter() - t0
         # overlap-add this block back to time domain
         frames = np.fft.irfft(Y_blk, n=args.nfft, axis=1) * win_s[None, :, None]

@@ -60,6 +60,7 @@ _API = {
     "wpe": "api",
     "wpe_batch": "api",
     "OnlineAuxIVAISS": "api",
+    "OnlineWPE": "api",
     "stft_analysis": "api",
     "stft_analysis_batch": "api",
     "to_device": "api",

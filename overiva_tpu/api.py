@@ -76,6 +76,7 @@ __all__ = [
     "auxiva_pca_batch",
     "wpe",
     "wpe_batch",
+    "OnlineWPE",
 ]
 
 DEFAULT_DTYPE = np.complex64
@@ -768,6 +769,61 @@ class OnlineAuxIVAISS:
         return _to_host(self.state["W"])
 
 
+class OnlineWPE:
+    """Streaming WPE dereverberation: feed STFT blocks, get dereverbed
+    blocks with O(block) latency (recursive tap statistics with
+    exponential forgetting, re-solved filter per block — the streaming
+    twin of :func:`wpe`; pairs with :class:`OnlineAuxIVAISS` for a fully
+    streaming dereverb + separate stack).
+
+    >>> drv = OnlineWPE(n_freq=513, n_chan=4, taps=8, delay=2)
+    >>> sep = OnlineAuxIVAISS(n_freq=513, n_chan=4)
+    >>> for X_blk in stream:          # (block_frames, n_freq, n_chan)
+    ...     y_blk = sep.process(drv.process(X_blk))
+
+    State lives on device; blocks must share one shape (one compile).
+    ``forget`` is per frame (effective memory 1/(1-forget) frames).
+    """
+
+    def __init__(self, n_freq, n_chan, taps=8, delay=2, forget=0.99,
+                 diag_load=1e-5, dtype=None):
+        from .models.online_wpe import online_wpe_init
+
+        if taps < 1:
+            raise ValueError("taps must be >= 1")
+        if delay < 1:
+            raise ValueError("delay must be >= 1 (delay 0 would predict "
+                             "the current frame from itself)")
+        cdtype = np.dtype(dtype or DEFAULT_DTYPE)
+        self._rdtype = real_dtype_of(cdtype)
+        self._cdtype = cdtype
+        jdtype = jnp.complex64 if cdtype == np.complex64 else jnp.complex128
+        self.taps, self.delay = int(taps), int(delay)
+        self.diag_load = float(diag_load)
+        self.state = online_wpe_init(
+            int(n_freq), int(n_chan), self.taps, self.delay, jdtype
+        )
+        self.forget = jnp.asarray(forget, self._rdtype)
+
+    def process(self, X_blk) -> np.ndarray:
+        """X_blk: (block_frames, n_freq, n_chan) complex ndarray ->
+        dereverbed block of the same shape."""
+        from .models.online_wpe import online_wpe_step
+
+        Xd = _to_device(_ensure(X_blk), self._cdtype)
+        Y, self.state = online_wpe_step(
+            Xd, self.state, self.forget, self.taps, self.delay,
+            self.diag_load,
+        )
+        re, im = _split(Y)
+        return merge_np(np.asarray(re), np.asarray(im))
+
+    @property
+    def filters(self) -> np.ndarray:
+        """Current prediction filter (n_freq, n_chan*taps, n_chan)."""
+        return _to_host(self.state["G"])
+
+
 # ----------------------------------------------------------------- frontend
 
 def projection_back(Y, ref):
@@ -920,6 +976,12 @@ def wpe(X, taps=10, delay=3, n_iter=3, diag_load=1e-5, dtype=None,
     Chain ``Y = wpe(X, device=True)`` into any ``*_batch``/separation call
     to run dereverb + separation fully device-resident.
     """
+    if taps < 1:
+        raise ValueError("taps must be >= 1")
+    if delay < 1:
+        raise ValueError("delay must be >= 1 (delay 0 would predict the "
+                         "current frame from itself; with 50% STFT overlap "
+                         "use delay >= 2)")
     cdtype = np.dtype(dtype or DEFAULT_DTYPE)
     Xd = _to_device(_ensure(X), cdtype)
     re, im = _wpe_jit(Xd, int(taps), int(delay), int(n_iter),
@@ -931,6 +993,10 @@ def wpe_batch(X, taps=10, delay=3, n_iter=3, diag_load=1e-5, dtype=None,
               device=False):
     """Batched WPE: (B, n_frames, n_freq, n_chan) -> same. One vmapped
     fused program over the batch axis (sweep-harness fan-out)."""
+    if taps < 1:
+        raise ValueError("taps must be >= 1")
+    if delay < 1:
+        raise ValueError("delay must be >= 1")
     cdtype = np.dtype(dtype or DEFAULT_DTYPE)
     Xd = _to_device(_ensure(X), cdtype)
     re, im = _wpe_batch_jit(Xd, int(taps), int(delay), int(n_iter),
