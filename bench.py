@@ -20,9 +20,46 @@ v5e chip (the reference publishes no machine numbers — BASELINE.md).
 """
 
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+
+def _wait_for_backend(max_wait_s: float = 1500.0) -> None:
+    """Block until the TPU backend answers a trivial program (or give up).
+
+    The axon tunnel has been observed UNAVAILABLE or hanging for tens of
+    minutes at a stretch; a failed init inside THIS process would poison
+    the run, so probe from short-lived subprocesses and only proceed once
+    one succeeds. Gives up after ``max_wait_s`` and lets the real run
+    produce the honest error.
+    """
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(float(jax.jit(lambda x: jnp.sum(x))(jnp.ones(4))))"],
+                timeout=150, capture_output=True,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            if attempt > 1:
+                print(f"backend up after {attempt} probes", file=sys.stderr)
+            return
+        if time.monotonic() >= deadline:
+            print("backend probe never succeeded; proceeding anyway",
+                  file=sys.stderr)
+            return
+        print(f"backend probe {attempt} failed (rc={rc}); retrying",
+              file=sys.stderr)
+        time.sleep(min(120, max(1.0, deadline - time.monotonic())))
 
 
 def _make_mix(rng, T, F, M):
@@ -34,6 +71,8 @@ def _make_mix(rng, T, F, M):
 
 
 def main():
+    _wait_for_backend()
+
     import jax
     import jax.numpy as jnp
 
