@@ -711,7 +711,51 @@ def _five_unwhiten(Q, w):
     return jnp.einsum("fmn,fn->fm", mat_h(Q), w)
 
 
-class OnlineAuxIVAISS:
+class _StreamingState:
+    """Checkpoint/resume for the streaming classes (SURVEY.md §5.4
+    analog of the batch (return_filters, W0) pair): device state crosses
+    the host boundary through the complex-safe real/imag split."""
+
+    def save(self, path, **meta):
+        """Persist the full streaming state + metadata to ``path`` (npz).
+        Returns the written path."""
+        from .utils.checkpoint import save_state
+
+        host = {
+            k: (_to_host(v) if jnp.iscomplexobj(v) else np.asarray(v))
+            for k, v in self.state.items()
+        }
+        meta.setdefault("class", type(self).__name__)
+        return save_state(path, host, **meta)
+
+    def restore(self, path) -> dict:
+        """Load state saved by :meth:`save` into this instance (shapes
+        must match the constructor configuration). Returns the metadata."""
+        from .utils.checkpoint import load_state
+
+        host, meta = load_state(path)
+        if set(host) != set(self.state):
+            raise ValueError(
+                f"checkpoint keys {sorted(host)} != state keys "
+                f"{sorted(self.state)}"
+            )
+        new = {}
+        for k, cur in self.state.items():
+            h = host[k]
+            if tuple(h.shape) != tuple(cur.shape):
+                raise ValueError(
+                    f"state {k!r}: checkpoint shape {h.shape} != "
+                    f"configured {tuple(cur.shape)}"
+                )
+            if jnp.iscomplexobj(cur):
+                new[k] = _to_device(h, np.dtype(cur.dtype))
+            else:
+                new[k] = jnp.asarray(np.asarray(h, np.dtype(cur.dtype)))
+        self.state = new
+        return meta
+
+
+class OnlineAuxIVAISS(_StreamingState):
     """Streaming determined separation: feed STFT blocks, get separated
     blocks with O(block) latency (online rank-1 source steering with
     exponential forgetting; extension beyond the reference — PAPERS.md:
@@ -769,7 +813,7 @@ class OnlineAuxIVAISS:
         return _to_host(self.state["W"])
 
 
-class OnlineWPE:
+class OnlineWPE(_StreamingState):
     """Streaming WPE dereverberation: feed STFT blocks, get dereverbed
     blocks with O(block) latency (recursive tap statistics with
     exponential forgetting, re-solved filter per block — the streaming

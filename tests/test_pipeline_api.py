@@ -91,3 +91,37 @@ def test_separate_fastmnmf_algos():
         assert y.shape == (mix.shape[0], 2) and np.isfinite(y).all()
         _, sir, _, _ = ev.evaluate(y.T)
         assert sir.mean() > 15, (algo, sir)
+
+
+def test_streaming_state_checkpoint_roundtrip(tmp_path, rng):
+    """OnlineWPE/OnlineAuxIVAISS save/restore: a restored instance
+    continues the stream bit-identically to the uninterrupted one."""
+    from overiva_tpu import api
+
+    F, M, B = 9, 2, 12
+    blocks = [
+        (rng.standard_normal((B, F, M)) + 1j * rng.standard_normal((B, F, M)))
+        .astype(np.complex64) for _ in range(6)
+    ]
+
+    for make in (
+        lambda: api.OnlineWPE(n_freq=F, n_chan=M, taps=3, delay=2),
+        lambda: api.OnlineAuxIVAISS(n_freq=F, n_chan=M, forget=0.95),
+    ):
+        a = make()
+        for blk in blocks[:3]:
+            a.process(blk)
+        p = a.save(tmp_path / "stream.npz", note="midstream")
+        b = make()
+        meta = b.restore(p)
+        assert meta["note"] == "midstream"
+        for blk in blocks[3:]:
+            ya = a.process(blk)
+            yb = b.process(blk)
+            np.testing.assert_allclose(yb, ya, atol=1e-7)
+
+    # shape mismatch is a clear error, not silent corruption
+    c = api.OnlineWPE(n_freq=F + 2, n_chan=M, taps=3, delay=2)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        c.restore(tmp_path / "stream.npz")
