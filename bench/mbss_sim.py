@@ -436,7 +436,7 @@ def sweep(cfg: dict, out_dir: Path, prefetch: int = 2, batch: int | None = None)
     print(f"sweep complete: {done} new, {skipped} skipped (resumed)")
 
 
-def aggregate(out_dir: Path, plot: bool = False):
+def _load_rows(out_dir: Path):
     rows = []
     for f in sorted(out_dir.glob("s*.json")):
         rec = json.loads(f.read_text())
@@ -453,6 +453,10 @@ def aggregate(out_dir: Path, plot: bool = False):
 
             rows.append(
                 {
+                    "key": instance_key(
+                        rec["seed"], rec["n_mics"], rec["n_src"],
+                        rec["rt60"], rec["snr"],
+                    ),
                     "algo": algo, "n_mics": rec["n_mics"], "n_src": rec["n_src"],
                     "rt60": rec["rt60"], "snr": rec["snr"],
                     "sdr": float(np.mean(res["sdr"])),
@@ -462,6 +466,51 @@ def aggregate(out_dir: Path, plot: bool = False):
                     "runtime": res["runtime"],
                 }
             )
+    return rows
+
+
+def compare(base_dir: Path, out_dir: Path):
+    """Paired per-instance comparison of two sweeps (same config except
+    the treatment — e.g. a ``"wpe"`` key): mean SIR/SDR deltas per
+    (algo, cell) over instances present in BOTH dirs. The pairing (same
+    seed = same room/sources) cancels the between-room variance that
+    dominates unpaired comparisons. Writes ``compare.csv`` to out_dir."""
+    import pandas as pd
+
+    base = {(r["key"], r["algo"]): r for r in _load_rows(base_dir)}
+    rows = []
+    for r in _load_rows(out_dir):
+        b = base.get((r["key"], r["algo"]))
+        if b is None:
+            continue
+        rows.append(
+            {
+                "algo": r["algo"], "n_mics": r["n_mics"], "n_src": r["n_src"],
+                "d_sir": r["sir"] - b["sir"],
+                "d_sdr": r["sdr"] - b["sdr"],
+                "sir": r["sir"], "sir_base": b["sir"],
+            }
+        )
+    if not rows:
+        print("no paired instances found")
+        return
+    df = pd.DataFrame(rows)
+    summary = (
+        df.groupby(["algo", "n_mics", "n_src"])
+        [["d_sir", "d_sdr", "sir_base", "sir"]]
+        .agg(d_sir=("d_sir", "mean"), d_sir_std=("d_sir", "std"),
+             d_sdr=("d_sdr", "mean"), sir_base=("sir_base", "mean"),
+             sir=("sir", "mean"), n=("d_sir", "size"))
+        .round(2)
+    )
+    print(f"paired deltas: {out_dir} vs baseline {base_dir}")
+    print(summary.to_string())
+    summary.to_csv(out_dir / "compare.csv")
+    print(f"written to {out_dir/'compare.csv'}")
+
+
+def aggregate(out_dir: Path, plot: bool = False):
+    rows = _load_rows(out_dir)
     if not rows:
         print("no results found")
         return
@@ -508,6 +557,11 @@ def main(argv=None):
     p.add_argument("config", nargs="?", default=None)
     p.add_argument("--out", type=str, default="data/sweep")
     p.add_argument("--aggregate", type=str, default=None, metavar="DIR")
+    p.add_argument(
+        "--compare", type=str, default=None, metavar="BASEDIR",
+        help="with --aggregate DIR: paired per-instance SIR/SDR deltas of "
+        "DIR vs this baseline sweep (matched-arm A/B, e.g. a wpe key)",
+    )
     p.add_argument("--plot", action="store_true")
     p.add_argument(
         "--batch", type=int, default=None,
@@ -517,7 +571,10 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.aggregate:
-        aggregate(Path(args.aggregate), plot=args.plot)
+        if args.compare:
+            compare(Path(args.compare), Path(args.aggregate))
+        else:
+            aggregate(Path(args.aggregate), plot=args.plot)
         return
     cfg = dict(DEFAULT_CONFIG)
     if args.config:
