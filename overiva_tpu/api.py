@@ -827,6 +827,15 @@ class OnlineWPE(_StreamingState):
 
     State lives on device; blocks must share one shape (one compile).
     ``forget`` is per frame (effective memory 1/(1-forget) frames).
+
+    Cascade caveat (measured, docs/DESIGN.md §7): feeding this front
+    into the online EW separator was NEGATIVE on the determined 2x2
+    test scene — the per-block filter re-solve keeps the effective
+    channel time-varying and the downstream tracker chases it. The
+    streaming dereverb itself converges (tested vs the batch solve);
+    for dereverb + separation check quality on your scene, or use the
+    batch/fused ``separate(wpe=...)`` path in the regimes the
+    matched-arm sweep says it pays (data/waspaa_rt04_wpe/).
     """
 
     def __init__(self, n_freq, n_chan, taps=8, delay=2, forget=0.99,
