@@ -59,6 +59,8 @@ _API = {
     "auxiva_pca_batch": "api",
     "wpe": "api",
     "wpe_batch": "api",
+    "tiss": "api",
+    "tiss_batch": "api",
     "OnlineAuxIVAISS": "api",
     "OnlineWPE": "api",
     "stft_analysis": "api",

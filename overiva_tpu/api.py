@@ -414,6 +414,111 @@ def overiva_iss(
     return Y
 
 
+@partial(jax.jit, static_argnames=("taps", "delay"))
+def _tiss_augment(X, taps, delay):
+    from .models.tiss import augment_taps
+
+    return augment_taps(X, taps, delay)
+
+
+@partial(jax.jit, static_argnames=("n_chan",))
+def _tiss_eye(Xt, n_chan):
+    P = jnp.zeros((Xt.shape[1], n_chan, Xt.shape[2]), Xt.dtype)
+    return P.at[:, :, :n_chan].set(jnp.eye(n_chan, dtype=Xt.dtype))
+
+
+@partial(jax.jit, static_argnames=("n_iter", "model", "n_chan", "n_src"))
+def _tiss_chunk(Xt, P, Y, n_iter, model, n_chan, n_src):
+    from .models.tiss import _tiss_epoch
+
+    P, Y = jax.lax.fori_loop(
+        0,
+        n_iter,
+        lambda _, s: _tiss_epoch(Xt, s, model, n_chan, n_src=n_src),
+        (P, Y),
+    )
+    return P, Y
+
+
+def tiss(
+    X,
+    n_src=None,
+    taps=5,
+    delay=2,
+    n_iter=20,
+    proj_back=True,
+    W0=None,
+    model="laplace",
+    return_filters=False,
+    callback=None,
+    callback_every=10,
+    dtype=None,
+):
+    """JOINT dereverberation + separation by iterative source steering
+    (T-ISS). Extension beyond the reference repo (PAPERS.md lineage:
+    arXiv:2009.09402 ISS; Nakashima, Scheibler, Togami & Ono, ICASSP 2021).
+    Oracle twin ``overiva_tpu.oracle.tiss`` has the derivation.
+
+    The demixing operates on ``[X | taps delayed copies]`` so the returned
+    sources are separated AND dereverberated in one optimization — the
+    principled alternative to the WPE -> IVA cascade (same aux function,
+    rank-1 solve-free updates only). ``taps=0`` degenerates exactly to
+    :func:`auxiva_iss` / :func:`overiva_iss`; ``n_src < n_chan`` uses the
+    stationary-background OverIVA-ISS view. ``delay >= 1`` keeps the direct
+    path out of the predictor; use ``delay >= 2`` under 50% frame overlap
+    (same operating-point guidance as :func:`wpe` — docs/DESIGN.md §7).
+
+    W0 may be a previous full (F, M, M + M*taps) stack, a square (F, M, M)
+    stack, or (F, n_src, M) target rows.
+    """
+    from .models.tiss import tiss_iterations
+
+    X = _ensure(X)
+    T, F, M = X.shape
+    N = M if n_src is None else int(n_src)
+    if not 1 <= N <= M:
+        raise ValueError(f"n_src must be in [1, {M}], got {N}")
+    taps, delay = int(taps), int(delay)
+    if taps < 0 or (taps > 0 and delay < 1):
+        raise ValueError("need taps >= 0 and delay >= 1 when taps > 0")
+    cdtype = np.dtype(dtype or DEFAULT_DTYPE)
+
+    Xd = _to_device(X, cdtype)
+    Xt = _tiss_augment(Xd, taps, delay)
+    if W0 is not None:
+        W0h = _to_host(W0) if isinstance(W0, jax.Array) else np.asarray(W0)
+        if W0h.shape[2] == M + M * taps:
+            P0 = W0h.copy()
+        else:
+            P0 = np.zeros((F, M, M + M * taps), W0h.dtype)
+            P0[:, :, :M] = np.eye(M)
+            if W0h.shape[1] == M:
+                P0[:, :, :M] = W0h
+            else:
+                P0[:, :N, :M] = W0h
+        P = _to_device(P0, cdtype)
+    else:
+        P = _tiss_eye(Xt, M)
+
+    if callback is None:
+        P, Yd = tiss_iterations(Xt, P, int(n_iter), model, M, n_src=N)
+    else:
+        done = 0
+        Yd = _demix_jit(Xt, P)
+        while done < n_iter:
+            re, im = _snapshot_y(Xd, _take_srcs(Yd, N))
+            callback(merge_np(np.asarray(re), np.asarray(im)))
+            step = min(callback_every, n_iter - done)
+            P, Yd = _tiss_chunk(Xt, P, Yd, step, model, M, N)
+            done += step
+
+    re, im = _finalize_y(Xd, _take_srcs(Yd, N), bool(proj_back))
+    Y = merge_np(np.asarray(re), np.asarray(im))
+    if return_filters:
+        return Y, _to_host(P)
+    return Y
+
+
 @partial(jax.jit, static_argnames=("n",))
 def _take_srcs(Y, n):
     return Y[:, :, :n]
@@ -1764,6 +1869,62 @@ def auxiva_iss_batch(
 def overiva_iss_batch(X, n_src, **kw):
     """Alias of :func:`auxiva_iss_batch` with a required n_src."""
     return auxiva_iss_batch(X, n_src=n_src, **kw)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_src", "taps", "delay", "n_iter", "model", "proj_back"),
+)
+def _tiss_batch_jit(X, n_src, taps, delay, n_iter, model, proj_back):
+    from .models.overiva import demix
+    from .models.tiss import _tiss_epoch, augment_taps
+    from .ops.projection import apply_projection_back
+
+    M = X.shape[3]
+
+    def one(Xb):
+        Xt = augment_taps(Xb, taps, delay)
+        P = jnp.zeros((Xb.shape[1], M, Xt.shape[2]), Xb.dtype)
+        P = P.at[:, :, :M].set(jnp.eye(M, dtype=Xb.dtype))
+        Y = demix(Xt, P)
+        _, Y = jax.lax.fori_loop(
+            0,
+            n_iter,
+            lambda _, s: _tiss_epoch(Xt, s, model, M, n_src=n_src),
+            (P, Y),
+        )
+        Y = Y[:, :, :n_src]
+        if proj_back:
+            Y = apply_projection_back(Y, Xb[:, :, 0])
+        return Y
+
+    Y = jax.vmap(one)(X)
+    return jnp.real(Y), jnp.imag(Y)
+
+
+def tiss_batch(
+    X, n_src=None, taps=5, delay=2, n_iter=20, proj_back=True,
+    model="laplace", dtype=None, device=False,
+):
+    """Batch of same-shape mixtures through T-ISS (joint dereverberation +
+    separation, see :func:`tiss`) in ONE fused XLA program.
+
+    X: (batch, n_frames, n_freq, n_chan) complex -> (batch, ..., n_src).
+    Accepts :func:`to_device` arrays; ``device=True`` keeps the result on
+    device."""
+    X = _ensure(X)
+    B, T, F, M = X.shape
+    N = M if n_src is None else int(n_src)
+    if not 1 <= N <= M:
+        raise ValueError("need 1 <= n_src <= n_chan")
+    taps, delay = int(taps), int(delay)
+    if taps < 0 or (taps > 0 and delay < 1):
+        raise ValueError("need taps >= 0 and delay >= 1 when taps > 0")
+    Xd = _to_device(X, np.dtype(dtype or DEFAULT_DTYPE))
+    re, im = _tiss_batch_jit(
+        Xd, N, taps, delay, int(n_iter), model, bool(proj_back)
+    )
+    return _from_jit(re, im, device)
 
 
 @partial(

@@ -19,6 +19,7 @@ from .overiva_ip2 import auxiva_ip2, overiva_ip2
 from .overiva_iss import overiva_iss
 from .projection import apply_projection_back, projection_back
 from .stft import analysis, hann, stft_pad, synthesis, synthesis_window
+from .tiss import tiss
 
 __all__ = [
     "EPS",
@@ -45,4 +46,5 @@ __all__ = [
     "stft_pad",
     "synthesis",
     "synthesis_window",
+    "tiss",
 ]

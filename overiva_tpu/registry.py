@@ -88,6 +88,12 @@ ALGORITHMS: dict[str, AlgorithmSpec] = {
         AlgorithmSpec("overiva-iss-gauss", _gauss(api.overiva_iss),
                       defaults={"n_iter": 20},
                       batch=_gauss(api.auxiva_iss_batch)),
+        AlgorithmSpec("tiss", api.tiss,
+                      defaults={"n_iter": 20, "taps": 5, "delay": 2},
+                      batch=api.tiss_batch),
+        AlgorithmSpec("tiss-gauss", _gauss(api.tiss),
+                      defaults={"n_iter": 20, "taps": 5, "delay": 2},
+                      batch=_gauss(api.tiss_batch)),
         AlgorithmSpec("overiva-ip2", api.overiva_ip2, min_src=2,
                       defaults={"n_iter": 10}, batch=api.overiva_ip2_batch),
         AlgorithmSpec("overiva-ip2-gauss", _gauss(api.overiva_ip2),

@@ -50,7 +50,7 @@ def test_registry_names_are_complete():
         "overiva", "overiva-gauss", "overiva-iss", "overiva-iss-gauss",
         "overiva-ip2", "overiva-ip2-gauss", "auxiva_pca", "auxiva_pca-iss",
         "sparseauxiva", "ilrma", "fastmnmf", "fastmnmf2", "five",
-        "ogive", "ogive-mix", "ogive-switching",
+        "ogive", "ogive-mix", "ogive-switching", "tiss", "tiss-gauss",
     }
     assert expected == set(ALGORITHMS), (
         expected ^ set(ALGORITHMS)
