@@ -1428,14 +1428,16 @@ def _fastmnmf2_snapshot(X, Q, g, W, H, x_scale, mic_index, n_out):
     jax.jit,
     static_argnames=(
         "nfft", "hop", "n_src", "n_iter", "model", "init_eig", "algo",
-        "wpe_taps", "wpe_delay", "wpe_n_iter",
+        "wpe_taps", "wpe_delay", "wpe_n_iter", "tiss_taps", "tiss_delay",
     ),
 )
 def _separate_time_jit(x, nfft, hop, n_src, n_iter, model, init_eig,
-                       algo="ip", wpe_taps=0, wpe_delay=3, wpe_n_iter=3):
+                       algo="ip", wpe_taps=0, wpe_delay=3, wpe_n_iter=3,
+                       tiss_taps=5, tiss_delay=2):
     from .models.auxiva_iss import auxiva_iss_iterations
     from .models.overiva import overiva_run
     from .models.overiva_ip2 import overiva_ip2_iterations
+    from .models.tiss import augment_taps, tiss_iterations
     from .ops.projection import apply_projection_back
 
     X = _stft.analysis(x, nfft, hop)
@@ -1446,6 +1448,13 @@ def _separate_time_jit(x, nfft, hop, n_src, n_iter, model, init_eig,
         M = X.shape[2]
         W = jnp.broadcast_to(jnp.eye(M, dtype=X.dtype), (X.shape[1], M, M))
         _, Y = auxiva_iss_iterations(X, W, n_iter, model, n_src=n_src)
+        Y = Y[:, :, :n_src]
+    elif algo == "tiss":  # joint dereverb + separation (rank-1 steering)
+        M = X.shape[2]
+        Xt = augment_taps(X, tiss_taps, tiss_delay)
+        P = jnp.zeros((X.shape[1], M, Xt.shape[2]), X.dtype)
+        P = P.at[:, :, :M].set(jnp.eye(M, dtype=X.dtype))
+        _, Y = tiss_iterations(Xt, P, n_iter, model, M, n_src=n_src)
         Y = Y[:, :, :n_src]
     elif algo == "ip2":  # pairwise joint updates (needs n_src >= 2)
         W_hat, Cx = _prepare(X, X[:0], n_src, False, True, False)
@@ -1500,6 +1509,8 @@ def separate(
     algo="ip",
     dtype=None,
     wpe=None,
+    taps=5,
+    delay=2,
 ):
     """Time-domain in, time-domain out: STFT -> [WPE] -> separate ->
     projection back -> iSTFT as ONE fused XLA program (zero host
@@ -1508,16 +1519,19 @@ def separate(
     ``algo``: "ip" (OverIVA/AuxIVA iterative projection, reference-parity),
     "iss" (rank-1 source steering; OverIVA-ISS when n_src < n_chan),
     "ip2" (pairwise joint updates, 3-5x fewer iterations; n_src >= 2),
+    "tiss" (JOINT dereverberation + separation by steering on delayed
+    taps — ``taps``/``delay`` apply; prefer over the wpe-cascade when the
+    window is much shorter than the reverb tail),
     or "fastmnmf"/"fastmnmf2" (full-rank spatial model, Wiener images at
     mic 0; NMF init from a fixed jax.random key, 30 epochs recommended).
     ``wpe``: None, True, or a dict of :func:`wpe` options — fuses the
     dereverberation front into the same program.
     mix: (n_samples, n_chan) float. Returns (n_samples, n_src) float.
     """
-    if algo not in ("ip", "iss", "ip2", "fastmnmf", "fastmnmf2"):
+    if algo not in ("ip", "iss", "ip2", "tiss", "fastmnmf", "fastmnmf2"):
         raise ValueError(
-            f"unknown algo {algo!r}; use 'ip', 'iss', 'ip2', 'fastmnmf' or"
-            " 'fastmnmf2'"
+            f"unknown algo {algo!r}; use 'ip', 'iss', 'ip2', 'tiss',"
+            " 'fastmnmf' or 'fastmnmf2'"
         )
     mix = np.asarray(mix)
     hop = hop or nfft // 2
@@ -1544,6 +1558,7 @@ def separate(
             bool(init_eig), algo,
             wpe_taps=int(wkw["taps"]) if wpe else 0,
             wpe_delay=int(wkw["delay"]), wpe_n_iter=int(wkw["n_iter"]),
+            tiss_taps=int(taps), tiss_delay=int(delay),
         )
     )
     start = nfft - hop

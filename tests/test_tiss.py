@@ -159,6 +159,20 @@ def test_registry():
     np.testing.assert_allclose(Yb[0], Y, rtol=2e-4, atol=1e-6)
 
 
+def test_separate_fused_tiss(mixture23):
+    """algo="tiss" in the fused time-domain pipeline runs end to end and
+    honors the taps/delay knobs (taps=0 == the iss path exactly)."""
+    rng = np.random.default_rng(44)
+    mix, _, _ = make_mixture(rng, n_src=2, n_mics=2, n_samples=8000, snr_db=25)
+    y = api.separate(mix, n_src=2, nfft=256, hop=128, n_iter=6, algo="tiss",
+                     taps=2, delay=1)
+    assert y.shape == (8000, 2) and np.isfinite(y).all()
+    y0 = api.separate(mix, n_src=2, nfft=256, hop=128, n_iter=6, algo="tiss",
+                      taps=0)
+    yiss = api.separate(mix, n_src=2, nfft=256, hop=128, n_iter=6, algo="iss")
+    np.testing.assert_array_equal(y0, yiss)
+
+
 def test_sharded_tiss_matches_single_device(mixture23):
     import jax
 
