@@ -61,6 +61,8 @@ _API = {
     "wpe_batch": "api",
     "tiss": "api",
     "tiss_batch": "api",
+    "ilrma_t": "api",
+    "ilrma_t_batch": "api",
     "OnlineAuxIVAISS": "api",
     "OnlineWPE": "api",
     "stft_analysis": "api",

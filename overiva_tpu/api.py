@@ -519,6 +519,91 @@ def tiss(
     return Y
 
 
+@partial(jax.jit, static_argnames=("n_iter", "n_chan"))
+def _ilrma_t_chunk(Xt, P, Y, B, H, n_iter, n_chan):
+    from .models.ilrma_t import _ilrma_t_epoch
+
+    return jax.lax.fori_loop(
+        0,
+        n_iter,
+        lambda _, s: _ilrma_t_epoch(Xt, s, n_chan),
+        (P, Y, B, H),
+    )
+
+
+def ilrma_t(
+    X,
+    n_src=None,
+    taps=5,
+    delay=2,
+    n_iter=20,
+    proj_back=True,
+    W0=None,
+    n_components=2,
+    return_filters=False,
+    callback=None,
+    callback_every=10,
+    seed=0,
+    dtype=None,
+):
+    """ILRMA-T: JOINT dereverberation + ILRMA (NMF source model driving
+    T-ISS rank-1 steering on ``[X | delayed taps]``). Extension beyond the
+    reference repo; oracle twin ``overiva_tpu.oracle.ilrma_t`` has the
+    derivation and validation anchors. Determined (n_src == n_chan);
+    ``taps=0`` gives ILRMA-ISS (same model as :func:`ilrma`, solve-free
+    optimizer, different trajectory). NMF init matches the oracle: one
+    ``default_rng(seed).random`` draw each for basis and activations.
+    """
+    from .models.ilrma_t import ilrma_t_iterations
+
+    X = _ensure(X)
+    T, F, M = X.shape
+    N = M if n_src is None else int(n_src)
+    if N != M:
+        raise ValueError("ilrma_t is determined: n_src must equal n_chan")
+    taps, delay = int(taps), int(delay)
+    if taps < 0 or (taps > 0 and delay < 1):
+        raise ValueError("need taps >= 0 and delay >= 1 when taps > 0")
+    cdtype = np.dtype(dtype or DEFAULT_DTYPE)
+    rdtype = real_dtype_of(cdtype)
+
+    rng = np.random.default_rng(seed)
+    B = (rng.random((M, F, n_components)) + 0.1).astype(rdtype)
+    H = (rng.random((M, n_components, T)) + 0.1).astype(rdtype)
+
+    Xd = _to_device(X, cdtype)
+    Xt = _tiss_augment(Xd, taps, delay)
+    if W0 is not None:
+        W0h = _to_host(W0) if isinstance(W0, jax.Array) else np.asarray(W0)
+        if W0h.shape[2] == M + M * taps:
+            P0 = W0h.copy()
+        else:
+            P0 = np.zeros((F, M, M + M * taps), W0h.dtype)
+            P0[:, :, :M] = W0h
+        P = _to_device(P0, cdtype)
+    else:
+        P = _tiss_eye(Xt, M)
+
+    Bd, Hd = jnp.asarray(B), jnp.asarray(H)
+    if callback is None:
+        P, Yd, Bd, Hd = ilrma_t_iterations(Xt, P, Bd, Hd, int(n_iter), M)
+    else:
+        done = 0
+        Yd = _demix_jit(Xt, P)
+        while done < n_iter:
+            re, im = _snapshot_y(Xd, Yd)
+            callback(merge_np(np.asarray(re), np.asarray(im)))
+            step = min(callback_every, n_iter - done)
+            P, Yd, Bd, Hd = _ilrma_t_chunk(Xt, P, Yd, Bd, Hd, step, M)
+            done += step
+
+    re, im = _finalize_y(Xd, Yd, bool(proj_back))
+    Y = merge_np(np.asarray(re), np.asarray(im))
+    if return_filters:
+        return Y, _to_host(P)
+    return Y
+
+
 @partial(jax.jit, static_argnames=("n",))
 def _take_srcs(Y, n):
     return Y[:, :, :n]
@@ -1938,6 +2023,79 @@ def tiss_batch(
     Xd = _to_device(X, np.dtype(dtype or DEFAULT_DTYPE))
     re, im = _tiss_batch_jit(
         Xd, N, taps, delay, int(n_iter), model, bool(proj_back)
+    )
+    return _from_jit(re, im, device)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("taps", "delay", "n_iter", "proj_back"),
+)
+def _ilrma_t_batch_jit(X, B0, H0, taps, delay, n_iter, proj_back):
+    from .models.ilrma_t import augment_taps, ilrma_t_iterations
+    from .ops.projection import apply_projection_back
+
+    M = X.shape[3]
+
+    def one(Xb, Bb, Hb):
+        Xt = augment_taps(Xb, taps, delay)
+        P = jnp.zeros((Xb.shape[1], M, Xt.shape[2]), Xb.dtype)
+        P = P.at[:, :, :M].set(jnp.eye(M, dtype=Xb.dtype))
+        _, Y, _, _ = ilrma_t_iterations(Xt, P, Bb, Hb, n_iter, M)
+        if proj_back:
+            Y = apply_projection_back(Y, Xb[:, :, 0])
+        return Y
+
+    Y = jax.vmap(one)(X, B0, H0)
+    return jnp.real(Y), jnp.imag(Y)
+
+
+def ilrma_t_batch(
+    X,
+    n_src=None,
+    taps=5,
+    delay=2,
+    n_iter=20,
+    proj_back=True,
+    n_components=2,
+    seed=0,
+    seeds=None,
+    dtype=None,
+    device=False,
+):
+    """Batch of same-shape mixtures through ILRMA-T (joint dereverberation
+    + ILRMA, see :func:`ilrma_t`) in ONE fused XLA program.
+
+    X: (batch, T, F, M) -> (batch, T, F, M). Element b's NMF init matches
+    ``ilrma_t(X[b], seed=seed + b)`` — or ``seed=seeds[b]`` with an
+    explicit per-element ``seeds`` sequence. Accepts :func:`to_device`
+    arrays; ``device=True`` keeps the result on device."""
+    X = _ensure(X)
+    B, T, F, M = X.shape
+    N = M if n_src is None else int(n_src)
+    if N != M:
+        raise ValueError("ilrma_t is determined: n_src must equal n_chan")
+    taps, delay = int(taps), int(delay)
+    if taps < 0 or (taps > 0 and delay < 1):
+        raise ValueError("need taps >= 0 and delay >= 1 when taps > 0")
+    cdtype = np.dtype(dtype or DEFAULT_DTYPE)
+    rdtype = real_dtype_of(cdtype)
+    if seeds is None:
+        seeds = [seed + b for b in range(B)]
+    if len(seeds) != B:
+        raise ValueError(f"seeds must have batch length {B}")
+
+    B0 = np.empty((B, M, F, n_components), rdtype)
+    H0 = np.empty((B, M, n_components, T), rdtype)
+    for b in range(B):
+        rng = np.random.default_rng(seeds[b])
+        B0[b] = (rng.random((M, F, n_components)) + 0.1).astype(rdtype)
+        H0[b] = (rng.random((M, n_components, T)) + 0.1).astype(rdtype)
+
+    Xd = _to_device(X, cdtype)
+    re, im = _ilrma_t_batch_jit(
+        Xd, jnp.asarray(B0), jnp.asarray(H0), taps, delay, int(n_iter),
+        bool(proj_back),
     )
     return _from_jit(re, im, device)
 

@@ -30,6 +30,7 @@ from ..models import auxiva_iss as _iss
 from ..models import fastmnmf2 as _fmnmf
 from ..models import five as _five
 from ..models import ilrma as _ilrma
+from ..models import ilrma_t as _ilrma_t
 from ..models import ogive as _ogive
 from ..models import overiva as _core
 from ..models import overiva_ip2 as _ip2
@@ -51,6 +52,7 @@ __all__ = [
     "sharded_overiva_ip2",
     "sharded_fastmnmf2",
     "sharded_five",
+    "sharded_ilrma_t",
     "sharded_sparseauxiva",
     "sharded_tiss",
     "sharded_wpe",
@@ -432,6 +434,100 @@ def sharded_ilrma(
     Y = _sharded_ilrma_padded(
         X_batch, jnp.asarray(B0), jnp.asarray(H0), jnp.asarray(mask),
         mesh, int(n_iter), bool(proj_back), int(F),
+    )
+    return Y[:, :, :F, :]
+
+
+def _ilrma_t_one(X, B0, H0, bin_mask, taps, delay, n_iter, n_freq_total,
+                 proj_back):
+    """Per-shard, per-mixture ILRMA-T on the local bin slice (tap stack is
+    bin-local; NMF activation + renorm psums as in _ilrma_one)."""
+    T, Fl, M = X.shape
+    Xt = _tiss.augment_taps(X, taps, delay)
+    Pm = jnp.zeros((Fl, M, Xt.shape[2]), X.dtype)
+    Pm = Pm.at[:, :, :M].set(jnp.eye(M, dtype=X.dtype))
+    Pm = jax.lax.pcast(Pm, (AXIS_MIX, AXIS_BINS), to="varying")
+    Y = _core.demix(Xt, Pm)
+
+    def epoch(_, s):
+        return _ilrma_t._ilrma_t_epoch(
+            Xt, s, M, axis_name=AXIS_BINS, n_freq=n_freq_total,
+            bin_mask=bin_mask,
+        )
+
+    Pm, Y, B, H = jax.lax.fori_loop(0, n_iter, epoch, (Pm, Y, B0, H0))
+    if proj_back:
+        Y = _proj.apply_projection_back(Y, X[:, :, 0])
+    return Y
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "taps", "delay", "n_iter", "proj_back", "n_freq_total"
+    ),
+)
+def _sharded_ilrma_t_padded(
+    X, B0, H0, bin_mask, mesh, taps, delay, n_iter, proj_back, n_freq_total
+):
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(AXIS_MIX, None, AXIS_BINS, None),
+            P(AXIS_MIX, None, AXIS_BINS, None),
+            P(AXIS_MIX, None, None, None),
+            P(AXIS_BINS),
+        ),
+        out_specs=P(AXIS_MIX, None, AXIS_BINS, None),
+    )
+    def run(Xl, B0l, H0l, maskl):
+        sep = lambda x, b0, h0: _ilrma_t_one(
+            x, b0, h0, maskl, taps, delay, n_iter, n_freq_total, proj_back
+        )
+        return jax.vmap(sep)(Xl, B0l, H0l)
+
+    return run(X, B0, H0, bin_mask)
+
+
+def sharded_ilrma_t(
+    mesh,
+    X_batch,
+    taps: int = 5,
+    delay: int = 2,
+    n_iter: int = 20,
+    n_components: int = 2,
+    seed: int = 0,
+    proj_back: bool = True,
+):
+    """Determined ILRMA-T (joint dereverb + ILRMA) over the mesh.
+
+    X_batch: (B, T, F, M) complex; NMF init matches
+    ``api.ilrma_t(seed=seed + b)`` per element (padded basis bins
+    replicate the last real bin, masked out of the psums)."""
+    B, T, F, M = X_batch.shape
+    n_mix = mesh.shape[AXIS_MIX]
+    n_bins = mesh.shape[AXIS_BINS]
+    if B % n_mix != 0:
+        raise ValueError(f"batch {B} not divisible by mix axis {n_mix}")
+    F_pad, mask = pad_bins(F, n_bins)
+    if F_pad != F:
+        reps = jnp.repeat(X_batch[:, :, -1:, :], F_pad - F, axis=2)
+        X_batch = jnp.concatenate([X_batch, reps], axis=2)
+
+    rdtype = np.float32 if X_batch.dtype == jnp.complex64 else np.float64
+    B0 = np.empty((B, M, F_pad, n_components), rdtype)
+    H0 = np.empty((B, M, n_components, T), rdtype)
+    for b in range(B):
+        rng = np.random.default_rng(seed + b)
+        Bb = (rng.random((M, F, n_components)) + 0.1).astype(rdtype)
+        B0[b, :, :F] = Bb
+        B0[b, :, F:] = Bb[:, -1:, :]
+        H0[b] = (rng.random((M, n_components, T)) + 0.1).astype(rdtype)
+
+    Y = _sharded_ilrma_t_padded(
+        X_batch, jnp.asarray(B0), jnp.asarray(H0), jnp.asarray(mask),
+        mesh, int(taps), int(delay), int(n_iter), bool(proj_back), int(F),
     )
     return Y[:, :, :F, :]
 

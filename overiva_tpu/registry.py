@@ -109,6 +109,10 @@ ALGORITHMS: dict[str, AlgorithmSpec] = {
         AlgorithmSpec("ilrma", api.ilrma, determined=True,
                       defaults={"n_iter": 30, "n_components": 2},
                       batch=api.ilrma_batch),
+        AlgorithmSpec("ilrma-t", api.ilrma_t, determined=True,
+                      defaults={"n_iter": 30, "n_components": 2,
+                                "taps": 5, "delay": 2},
+                      batch=api.ilrma_t_batch),
         AlgorithmSpec("fastmnmf", api.fastmnmf,
                       defaults={"n_iter": 30, "n_components": 2},
                       batch=api.fastmnmf_batch),
