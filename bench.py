@@ -13,6 +13,7 @@ Extra rows (in the same single JSON line under "extra"):
     T~300-700); same 30-iter protocol
   - auxiva_iss_it_s: the solve-free speed tier at the same M=8/F=2049
   - pca_iss_it_s: PCA to N=3 + ISS, the fast overdetermined path
+  - tiss_T512_taps5_it_s: joint dereverb+separation (T-ISS) at T=512
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 vs_baseline is against the BASELINE.json target of 100 iterations/sec on one
@@ -199,6 +200,22 @@ def main():
     t_wpe, Yw = timed(lambda: wpe_jit(X5))
     check_finite(Yw)
     extra["wpe_T512_taps5_ms"] = round(t_wpe * 1e3, 1)
+
+    # ---- T-ISS joint dereverb + separation (extension, models/tiss.py):
+    # M=8 -> N=3, 5 taps at the realistic horizon T=512 ----
+    from overiva_tpu.models.tiss import augment_taps, tiss_iterations
+
+    aug_jit = jax.jit(lambda x: augment_taps(x, 5, 2))
+    Xt5 = aug_jit(X5)
+    Pt0 = jax.jit(
+        lambda xt: jnp.zeros((F, M, xt.shape[2]), xt.dtype)
+        .at[:, :, :M].set(jnp.eye(M, dtype=xt.dtype))
+    )(Xt5)
+    t_tiss, (Pt, _) = timed(
+        lambda: tiss_iterations(Xt5, Pt0, N_ITER, "laplace", M, n_src=N)
+    )
+    check_finite(Pt)
+    extra["tiss_T512_taps5_it_s"] = round(N_ITER / t_tiss, 1)
 
     # ---- OverIVA-IP2 (pairwise updates: ~0.55 ms/iter but 3-5x fewer
     # iterations to converge than IP1 — tests/test_ip2.py) ----
