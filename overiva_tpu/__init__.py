@@ -64,6 +64,7 @@ _API = {
     "ilrma_t": "api",
     "ilrma_t_batch": "api",
     "OnlineAuxIVAISS": "api",
+    "OnlineTISS": "api",
     "OnlineWPE": "api",
     "stft_analysis": "api",
     "stft_analysis_batch": "api",

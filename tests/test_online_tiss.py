@@ -1,0 +1,89 @@
+"""Online T-ISS (streaming joint dereverberation + separation):
+taps=0 degeneration to OnlineAuxIVAISS, convergence over a reverberant
+stream, checkpoint/resume, validation (design + A/B numbers:
+models/online_tiss.py and docs/DESIGN.md §8)."""
+
+import numpy as np
+import pytest
+
+from overiva_tpu.api import OnlineAuxIVAISS, OnlineTISS
+
+from helpers import make_mixture, stft_mixture
+from test_oracle_algos import stft_sir_matrix
+
+
+def _blocks(X, B=25):
+    return [X[s : s + B] for s in range(0, X.shape[0] - B + 1, B)]
+
+
+def test_taps0_equals_online_iss():
+    """taps=0 must reproduce the OnlineAuxIVAISS trajectory exactly (the
+    frozen-Y source steps are the same code path)."""
+    rng = np.random.default_rng(5)
+    mix, _, _ = make_mixture(rng, n_src=2, n_mics=2, n_samples=16000, snr_db=25)
+    X = stft_mixture(mix, nfft=256)
+    s0 = OnlineTISS(X.shape[1], 2, taps=0, forget=0.97, n_pass=2)
+    s1 = OnlineAuxIVAISS(X.shape[1], 2, forget=0.97, n_pass=2)
+    for blk in _blocks(X):
+        np.testing.assert_array_equal(s0.process(blk), s1.process(blk))
+
+
+def test_converges_on_reverberant_stream():
+    rng = np.random.default_rng(99)
+    mix, premix, _ = make_mixture(
+        rng, n_src=2, n_mics=2, n_samples=64000, n_taps=64, snr_db=25
+    )
+    X = stft_mixture(mix, nfft=256)
+    P = np.stack([stft_mixture(premix[k], nfft=256)[:, :, 0] for k in range(2)])
+    sep = OnlineTISS(
+        X.shape[1], 2, taps=3, delay=2, forget=0.985, n_pass=2,
+        dtype=np.complex128,
+    )
+    outs = [sep.process(blk) for blk in _blocks(X)]
+    assert all(np.isfinite(o).all() for o in outs)
+    nb = len(outs)
+
+    def purity(Y_blk, start):
+        Pb = P[:, start : start + Y_blk.shape[0]]
+        G = stft_sir_matrix(Y_blk, Pb)
+        return max(G[0, 0] * G[1, 1], G[0, 1] * G[1, 0]) / max(
+            G[0, 0] * G[1, 0] + G[0, 1] * G[1, 1], 1e-12
+        )
+
+    early = np.mean([purity(outs[i], i * 25) for i in range(2, 5)])
+    late = np.mean([purity(outs[i], i * 25) for i in range(nb - 3, nb)])
+    # measured 0.076 -> 0.216 (2.9x) on this scene: reverberant streams
+    # converge slower than the anechoic online-ISS gate (3x); keep margin
+    assert late > 1.8 * early, (early, late)
+    assert late > 0.15, late
+    assert np.isfinite(sep.filters).all()
+    assert sep.filters.shape == (X.shape[1], 2, 2 + 2 * 3)
+
+
+def test_checkpoint_resume_bit_identical(tmp_path):
+    rng = np.random.default_rng(7)
+    mix, _, _ = make_mixture(rng, n_src=2, n_mics=2, n_samples=16000, snr_db=25)
+    X = stft_mixture(mix, nfft=128)
+    sep = OnlineTISS(X.shape[1], 2, taps=2, delay=2)
+    for blk in _blocks(X, 16)[:3]:
+        sep.process(blk)
+    path = sep.save(tmp_path / "otiss.npz", note="t")
+    sep2 = OnlineTISS(X.shape[1], 2, taps=2, delay=2)
+    meta = sep2.restore(path)
+    assert meta["note"] == "t"
+    blk = _blocks(X, 16)[3]
+    np.testing.assert_array_equal(sep.process(blk), sep2.process(blk))
+
+
+def test_validation():
+    with pytest.raises(ValueError):
+        OnlineTISS(65, 2, taps=2, delay=0)
+    with pytest.raises(ValueError):
+        OnlineTISS(65, 2, tap_update="newton")
+    # steer mode constructs and runs (documented-negative but supported)
+    s = OnlineTISS(33, 2, taps=2, delay=1, tap_update="steer")
+    rng = np.random.default_rng(0)
+    blk = (
+        rng.standard_normal((8, 33, 2)) + 1j * rng.standard_normal((8, 33, 2))
+    ).astype(np.complex64)
+    assert np.isfinite(s.process(blk)).all()
