@@ -63,6 +63,8 @@ _API = {
     "tiss_batch": "api",
     "ilrma_t": "api",
     "ilrma_t_batch": "api",
+    "tip": "api",
+    "tip_batch": "api",
     "OnlineAuxIVAISS": "api",
     "OnlineTISS": "api",
     "OnlineWPE": "api",

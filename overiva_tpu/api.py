@@ -519,6 +519,100 @@ def tiss(
     return Y
 
 
+@partial(jax.jit, static_argnames=("n_iter", "model", "n_chan", "n_src"))
+def _tip_chunk(Xt, P, n_iter, model, n_chan, n_src):
+    from .models.tip import _tip_epoch
+
+    return jax.lax.fori_loop(
+        0,
+        n_iter,
+        lambda _, p: _tip_epoch(Xt, p, model, n_chan, n_src=n_src),
+        P,
+    )
+
+
+def tip(
+    X,
+    n_src=None,
+    taps=5,
+    delay=2,
+    n_iter=10,
+    warm_iter=10,
+    proj_back=True,
+    W0=None,
+    model="laplace",
+    return_filters=False,
+    callback=None,
+    callback_every=10,
+    dtype=None,
+):
+    """T-IP: joint dereverberation + separation with EXACT iterative-
+    projection row updates on the augmented input (the solve-based sibling
+    of :func:`tiss`; the T-ISS paper's "ILRMA-T-IP"-style baseline).
+    Oracle twin ``overiva_tpu.oracle.tip`` has the derivation and the
+    measured warm-start requirement: when no ``W0`` is given and
+    ``taps > 0``, ``warm_iter`` T-ISS epochs run first inside the same
+    program (cold-start full-row solves collapse on some scenes). Each
+    T-IP epoch is ~MJ^3/M^2-fold costlier than a T-ISS epoch (MJ-dim
+    solves) but exactly minimizes the surrogate per row — measured best
+    as a short polish after the rank-1 warm-up, with ``model="gauss"``
+    the stronger polish on the hard-room probe (docs/DESIGN.md §8).
+
+    ``taps=0, n_src=M`` degenerates exactly to :func:`auxiva` (cold
+    start — the warm-up is skipped at taps=0).
+    """
+    from .models.tip import tip_iterations
+    from .models.tiss import tiss_iterations
+
+    X = _ensure(X)
+    T, F, M = X.shape
+    N = M if n_src is None else int(n_src)
+    if not 1 <= N <= M:
+        raise ValueError(f"n_src must be in [1, {M}], got {N}")
+    taps, delay = int(taps), int(delay)
+    if taps < 0 or (taps > 0 and delay < 1):
+        raise ValueError("need taps >= 0 and delay >= 1 when taps > 0")
+    cdtype = np.dtype(dtype or DEFAULT_DTYPE)
+
+    Xd = _to_device(X, cdtype)
+    Xt = _tiss_augment(Xd, taps, delay)
+    if W0 is not None:
+        W0h = _to_host(W0) if isinstance(W0, jax.Array) else np.asarray(W0)
+        if W0h.shape[2] == M + M * taps:
+            P0 = W0h.copy()
+        else:
+            P0 = np.zeros((F, M, M + M * taps), W0h.dtype)
+            P0[:, :, :M] = np.eye(M)
+            if W0h.shape[1] == M:
+                P0[:, :, :M] = W0h
+            else:
+                P0[:, :N, :M] = W0h
+        P = _to_device(P0, cdtype)
+    else:
+        P = _tiss_eye(Xt, M)
+        if warm_iter > 0 and taps > 0:
+            P, _ = tiss_iterations(Xt, P, int(warm_iter), model, M, n_src=N)
+
+    if callback is None:
+        P = tip_iterations(Xt, P, int(n_iter), model, M, n_src=N)
+    else:
+        done = 0
+        while done < n_iter:
+            Yd = _demix_jit(Xt, P)
+            re, im = _snapshot_y(Xd, _take_srcs(Yd, N))
+            callback(merge_np(np.asarray(re), np.asarray(im)))
+            step = min(callback_every, n_iter - done)
+            P = _tip_chunk(Xt, P, step, model, M, N)
+            done += step
+
+    Yd = _demix_jit(Xt, P)
+    re, im = _finalize_y(Xd, _take_srcs(Yd, N), bool(proj_back))
+    Y = merge_np(np.asarray(re), np.asarray(im))
+    if return_filters:
+        return Y, _to_host(P)
+    return Y
+
+
 @partial(jax.jit, static_argnames=("n_iter", "n_chan"))
 def _ilrma_t_chunk(Xt, P, Y, B, H, n_iter, n_chan):
     from .models.ilrma_t import _ilrma_t_epoch
@@ -2102,6 +2196,60 @@ def tiss_batch(
     Xd = _to_device(X, np.dtype(dtype or DEFAULT_DTYPE))
     re, im = _tiss_batch_jit(
         Xd, N, taps, delay, int(n_iter), model, bool(proj_back)
+    )
+    return _from_jit(re, im, device)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_src", "taps", "delay", "n_iter", "warm_iter", "model", "proj_back"
+    ),
+)
+def _tip_batch_jit(X, n_src, taps, delay, n_iter, warm_iter, model, proj_back):
+    from .models.tip import tip_iterations
+    from .models.tiss import augment_taps, tiss_iterations
+    from .models.overiva import demix
+    from .ops.projection import apply_projection_back
+
+    M = X.shape[3]
+
+    def one(Xb):
+        Xt = augment_taps(Xb, taps, delay)
+        P = jnp.zeros((Xb.shape[1], M, Xt.shape[2]), Xb.dtype)
+        P = P.at[:, :, :M].set(jnp.eye(M, dtype=Xb.dtype))
+        if warm_iter > 0 and taps > 0:
+            P, _ = tiss_iterations(Xt, P, warm_iter, model, M, n_src=n_src)
+        P = tip_iterations(Xt, P, n_iter, model, M, n_src=n_src)
+        Y = demix(Xt, P)[:, :, :n_src]
+        if proj_back:
+            Y = apply_projection_back(Y, Xb[:, :, 0])
+        return Y
+
+    Y = jax.vmap(one)(X)
+    return jnp.real(Y), jnp.imag(Y)
+
+
+def tip_batch(
+    X, n_src=None, taps=5, delay=2, n_iter=10, warm_iter=10, proj_back=True,
+    model="laplace", dtype=None, device=False,
+):
+    """Batch of same-shape mixtures through T-IP (see :func:`tip`) in ONE
+    fused XLA program (warm-up T-ISS epochs included in-program).
+
+    X: (batch, n_frames, n_freq, n_chan) complex -> (batch, ..., n_src)."""
+    X = _ensure(X)
+    B, T, F, M = X.shape
+    N = M if n_src is None else int(n_src)
+    if not 1 <= N <= M:
+        raise ValueError("need 1 <= n_src <= n_chan")
+    taps, delay = int(taps), int(delay)
+    if taps < 0 or (taps > 0 and delay < 1):
+        raise ValueError("need taps >= 0 and delay >= 1 when taps > 0")
+    Xd = _to_device(X, np.dtype(dtype or DEFAULT_DTYPE))
+    re, im = _tip_batch_jit(
+        Xd, N, taps, delay, int(n_iter), int(warm_iter), model,
+        bool(proj_back),
     )
     return _from_jit(re, im, device)
 

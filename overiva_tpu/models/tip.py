@@ -1,0 +1,98 @@
+"""T-IP core — joint dereverberation + separation with exact IP rows.
+
+TPU twin of ``overiva_tpu/oracle/tip.py`` (derivation, provenance, and the
+measured warm-start requirement there). Per epoch and per source: one
+MJ-dimensional weighted covariance of the augmented input (MJ = M + M*taps
+— an MXU-friendly (T, MJ) x (T, MJ) contraction per bin, unlike the
+M<=8-tiny IVA wcov), the structured product [P; 0 I] @ V formed as a
+(F, M, MJ) GEMM stacked on V's bottom rows (the identity block is free),
+one batched MJ-dim :func:`gauss_solve`, and a scatter-free concat row
+rebuild (docs/DESIGN.md §2b).
+
+Sharding: bins are independent given phi — same single-psum family as
+every other member (§3)."""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.linalg import PRECISION, gauss_solve
+from .overiva import demix
+from .source_models import activations_from_power, power
+from .tiss import augment_taps  # noqa: F401  (re-export for callers)
+
+__all__ = ["tip_iterations", "_tip_epoch", "augment_taps"]
+
+_EPS = 1e-15
+
+
+def _tip_epoch(
+    Xt, P, model, n_chan, axis_name=None, n_freq=None, bin_mask=None,
+    n_src=None,
+):
+    """One T-IP epoch. Xt: (T, F, MJ); P: (F, M, MJ) top block."""
+    T, F, MJ = Xt.shape
+    M = n_chan
+    N = M if n_src is None else n_src
+    Y = demix(Xt, P)
+    pw = power(Y[:, :, :N], bin_mask)
+    if axis_name is not None:
+        pw = lax.psum(pw, axis_name)
+    _, phi = activations_from_power(pw, n_freq or F, model)
+    phif = phi.astype(Y.real.dtype)
+    if N < M:
+        phif = jnp.concatenate(
+            [phif, jnp.ones((T, M - N), phif.dtype)], axis=1
+        )
+
+    for k in range(M):
+        Xw = Xt * phif[:, k][:, None, None].astype(Xt.real.dtype)
+        V = jnp.einsum(
+            "tfa,tfb->fab", Xw, jnp.conj(Xt), precision=PRECISION
+        ) / T  # (F, MJ, MJ)
+        PV_top = jnp.einsum(
+            "fmj,fjb->fmb", P, V, precision=PRECISION
+        )  # (F, M, MJ)
+        PV = jnp.concatenate([PV_top, V[:, M:, :]], axis=1)
+        rhs = jnp.zeros((F, MJ, 1), Xt.dtype).at[:, k, 0].set(1.0)
+        w = gauss_solve(PV, rhs)[:, :, 0]  # (F, MJ)
+        denom = jnp.real(
+            jnp.einsum(
+                "fa,fab,fb->f", jnp.conj(w), V, w, precision=PRECISION
+            )
+        )
+        w = w / jnp.sqrt(jnp.maximum(denom, _EPS)).astype(w.real.dtype)[:, None]
+        P = jnp.concatenate(
+            [P[:, :k], jnp.conj(w)[:, None, :], P[:, k + 1 :]], axis=1
+        )
+    return P
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_iter", "model", "n_chan", "axis_name", "n_freq", "n_src"),
+)
+def tip_iterations(
+    Xt,
+    P,
+    n_iter: int,
+    model: str,
+    n_chan: int,
+    axis_name=None,
+    n_freq=None,
+    bin_mask=None,
+    n_src=None,
+):
+    """Run n_iter fused T-IP epochs on the augmented input. Returns P."""
+    return lax.fori_loop(
+        0,
+        n_iter,
+        lambda _, p: _tip_epoch(
+            Xt, p, model, n_chan, axis_name, n_freq, bin_mask, n_src
+        ),
+        P,
+    )

@@ -19,6 +19,7 @@ from .overiva_ip2 import auxiva_ip2, overiva_ip2
 from .overiva_iss import overiva_iss
 from .projection import apply_projection_back, projection_back
 from .stft import analysis, hann, stft_pad, synthesis, synthesis_window
+from .tip import tip
 from .tiss import tiss
 
 __all__ = [
@@ -46,5 +47,6 @@ __all__ = [
     "stft_pad",
     "synthesis",
     "synthesis_window",
+    "tip",
     "tiss",
 ]

@@ -35,6 +35,7 @@ from ..models import ogive as _ogive
 from ..models import overiva as _core
 from ..models import overiva_ip2 as _ip2
 from ..models import sparseauxiva as _sparse
+from ..models import tip as _tip
 from ..models import tiss as _tiss
 from ..ops import projection as _proj
 from ..ops import wpe as _wpe
@@ -54,6 +55,7 @@ __all__ = [
     "sharded_five",
     "sharded_ilrma_t",
     "sharded_sparseauxiva",
+    "sharded_tip",
     "sharded_tiss",
     "sharded_wpe",
 ]
@@ -434,6 +436,103 @@ def sharded_ilrma(
     Y = _sharded_ilrma_padded(
         X_batch, jnp.asarray(B0), jnp.asarray(H0), jnp.asarray(mask),
         mesh, int(n_iter), bool(proj_back), int(F),
+    )
+    return Y[:, :, :F, :]
+
+
+def _tip_one(
+    X, bin_mask, taps, delay, n_iter, warm_iter, model, n_freq_total,
+    proj_back, n_src=None,
+):
+    """Per-shard, per-mixture T-IP (warm-started by T-ISS epochs) on the
+    local bin slice — single-psum family like _tiss_one."""
+    T, Fl, M = X.shape
+    Xt = _tiss.augment_taps(X, taps, delay)
+    Pm = jnp.zeros((Fl, M, Xt.shape[2]), X.dtype)
+    Pm = Pm.at[:, :, :M].set(jnp.eye(M, dtype=X.dtype))
+    Pm = jax.lax.pcast(Pm, (AXIS_MIX, AXIS_BINS), to="varying")
+    if warm_iter > 0 and taps > 0:
+        Y = _core.demix(Xt, Pm)
+        Pm, Y = jax.lax.fori_loop(
+            0,
+            warm_iter,
+            lambda _, s: _tiss._tiss_epoch(
+                Xt, s, model, M, axis_name=AXIS_BINS, n_freq=n_freq_total,
+                bin_mask=bin_mask, n_src=n_src,
+            ),
+            (Pm, Y),
+        )
+    Pm = jax.lax.fori_loop(
+        0,
+        n_iter,
+        lambda _, p: _tip._tip_epoch(
+            Xt, p, model, M, axis_name=AXIS_BINS, n_freq=n_freq_total,
+            bin_mask=bin_mask, n_src=n_src,
+        ),
+        Pm,
+    )
+    Y = _core.demix(Xt, Pm)
+    if n_src is not None:
+        Y = Y[:, :, :n_src]
+    if proj_back:
+        Y = _proj.apply_projection_back(Y, X[:, :, 0])
+    return Y
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "taps", "delay", "n_iter", "warm_iter", "model", "proj_back",
+        "n_freq_total", "n_src",
+    ),
+)
+def _sharded_tip_padded(
+    X, bin_mask, mesh, taps, delay, n_iter, warm_iter, model, proj_back,
+    n_freq_total, n_src=None,
+):
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(AXIS_MIX, None, AXIS_BINS, None), P(AXIS_BINS)),
+        out_specs=P(AXIS_MIX, None, AXIS_BINS, None),
+    )
+    def run(Xl, maskl):
+        sep = lambda x: _tip_one(
+            x, maskl, taps, delay, n_iter, warm_iter, model, n_freq_total,
+            proj_back, n_src,
+        )
+        return jax.vmap(sep)(Xl)
+
+    return run(X, bin_mask)
+
+
+def sharded_tip(
+    mesh,
+    X_batch,
+    n_src: int | None = None,
+    taps: int = 5,
+    delay: int = 2,
+    n_iter: int = 10,
+    warm_iter: int = 10,
+    model: str = "laplace",
+    proj_back: bool = True,
+):
+    """T-IP (joint dereverb + separation, exact IP rows) over the mesh.
+
+    X_batch: (B, T, F, M) complex; returns (B, T, F, n_src or M)."""
+    B, T, F, M = X_batch.shape
+    n_mix = mesh.shape[AXIS_MIX]
+    n_bins = mesh.shape[AXIS_BINS]
+    if B % n_mix != 0:
+        raise ValueError(f"batch {B} not divisible by mix axis {n_mix}")
+    F_pad, mask = pad_bins(F, n_bins)
+    if F_pad != F:
+        reps = jnp.repeat(X_batch[:, :, -1:, :], F_pad - F, axis=2)
+        X_batch = jnp.concatenate([X_batch, reps], axis=2)
+    Y = _sharded_tip_padded(
+        X_batch, jnp.asarray(mask), mesh, int(taps), int(delay), int(n_iter),
+        int(warm_iter), model, bool(proj_back), int(F),
+        None if n_src is None else int(n_src),
     )
     return Y[:, :, :F, :]
 

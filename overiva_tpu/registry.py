@@ -94,6 +94,14 @@ ALGORITHMS: dict[str, AlgorithmSpec] = {
         AlgorithmSpec("tiss-gauss", _gauss(api.tiss),
                       defaults={"n_iter": 20, "taps": 5, "delay": 2},
                       batch=_gauss(api.tiss_batch)),
+        AlgorithmSpec("tip", api.tip,
+                      defaults={"n_iter": 10, "warm_iter": 10,
+                                "taps": 5, "delay": 2},
+                      batch=api.tip_batch),
+        AlgorithmSpec("tip-gauss", _gauss(api.tip),
+                      defaults={"n_iter": 10, "warm_iter": 10,
+                                "taps": 5, "delay": 2},
+                      batch=_gauss(api.tip_batch)),
         AlgorithmSpec("overiva-ip2", api.overiva_ip2, min_src=2,
                       defaults={"n_iter": 10}, batch=api.overiva_ip2_batch),
         AlgorithmSpec("overiva-ip2-gauss", _gauss(api.overiva_ip2),

@@ -51,6 +51,7 @@ def test_registry_names_are_complete():
         "overiva-ip2", "overiva-ip2-gauss", "auxiva_pca", "auxiva_pca-iss",
         "sparseauxiva", "ilrma", "ilrma-t", "fastmnmf", "fastmnmf2", "five",
         "ogive", "ogive-mix", "ogive-switching", "tiss", "tiss-gauss",
+        "tip", "tip-gauss",
     }
     assert expected == set(ALGORITHMS), (
         expected ^ set(ALGORITHMS)
