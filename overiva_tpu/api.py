@@ -1714,6 +1714,34 @@ def _separate_time_jit(x, nfft, hop, n_src, n_iter, model, init_eig,
         P = P.at[:, :, :M].set(jnp.eye(M, dtype=X.dtype))
         _, Y = tiss_iterations(Xt, P, n_iter, model, M, n_src=n_src)
         Y = Y[:, :, :n_src]
+    elif algo == "tip":  # joint dereverb + separation (exact IP rows)
+        from .models.tip import tip_iterations
+
+        M = X.shape[2]
+        Xt = augment_taps(X, tiss_taps, tiss_delay)
+        P = jnp.zeros((X.shape[1], M, Xt.shape[2]), X.dtype)
+        P = P.at[:, :, :M].set(jnp.eye(M, dtype=X.dtype))
+        if tiss_taps:  # warm start (measured essential — oracle/tip.py)
+            P, _ = tiss_iterations(Xt, P, 10, model, M, n_src=n_src)
+        P = tip_iterations(Xt, P, n_iter, model, M, n_src=n_src)
+        Y = _core.demix(Xt, P)[:, :, :n_src]
+    elif algo == "ilrma_t":  # joint dereverb + ILRMA (NMF model, steering)
+        from .models.ilrma_t import ilrma_t_iterations
+
+        T, F, M = X.shape
+        L = 2
+        Xt = augment_taps(X, tiss_taps, tiss_delay)
+        P = jnp.zeros((F, M, Xt.shape[2]), X.dtype)
+        P = P.at[:, :, :M].set(jnp.eye(M, dtype=X.dtype))
+        rdt = jnp.finfo(X.dtype).dtype
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        Bn = jax.random.uniform(k1, (M, F, L), rdt) + 0.1
+        Hn = jax.random.uniform(k2, (M, L, T), rdt) + 0.1
+        _, Y, _, _ = ilrma_t_iterations(Xt, P, Bn, Hn, n_iter, M)
+        if n_src < M:
+            en = jnp.sum(jnp.abs(Y) ** 2, axis=(0, 1))
+            pick = jnp.sort(jnp.argsort(-en)[:n_src])
+            Y = jnp.take(Y, pick, axis=2)
     elif algo == "ip2":  # pairwise joint updates (needs n_src >= 2)
         W_hat, Cx = _prepare(X, X[:0], n_src, False, True, False)
         W_hat = overiva_ip2_iterations(X, W_hat, Cx, n_src, n_iter, model)
@@ -1780,16 +1808,22 @@ def separate(
     "tiss" (JOINT dereverberation + separation by steering on delayed
     taps — ``taps``/``delay`` apply; prefer over the wpe-cascade when the
     window is much shorter than the reverb tail),
+    "tip" (joint with exact IP rows, 10 warm T-ISS epochs built in —
+    use ``model="gauss"``, short ``n_iter``; ``taps``/``delay`` apply),
+    "ilrma_t" (joint dereverb + ILRMA, NMF init from a fixed jax.random
+    key; ``taps``/``delay`` apply; extra outputs picked by energy),
     or "fastmnmf"/"fastmnmf2" (full-rank spatial model, Wiener images at
     mic 0; NMF init from a fixed jax.random key, 30 epochs recommended).
     ``wpe``: None, True, or a dict of :func:`wpe` options — fuses the
     dereverberation front into the same program.
     mix: (n_samples, n_chan) float. Returns (n_samples, n_src) float.
     """
-    if algo not in ("ip", "iss", "ip2", "tiss", "fastmnmf", "fastmnmf2"):
+    if algo not in (
+        "ip", "iss", "ip2", "tiss", "tip", "ilrma_t", "fastmnmf", "fastmnmf2"
+    ):
         raise ValueError(
-            f"unknown algo {algo!r}; use 'ip', 'iss', 'ip2', 'tiss',"
-            " 'fastmnmf' or 'fastmnmf2'"
+            f"unknown algo {algo!r}; use 'ip', 'iss', 'ip2', 'tiss', 'tip',"
+            " 'ilrma_t', 'fastmnmf' or 'fastmnmf2'"
         )
     mix = np.asarray(mix)
     hop = hop or nfft // 2

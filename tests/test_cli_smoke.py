@@ -12,6 +12,14 @@ def test_oneshot_cli_runs(tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["OVERIVA_FORCE_CPU"] = "1"
+    # Sever the axon TPU plugin entirely (it loads via a PYTHONPATH site
+    # dir and re-prepends its platform at jax import): when the tunnel is
+    # in a hang-outage, any accidental backend touch stalls the subprocess
+    # to the 600 s timeout. This test is about the CPU CLI surface.
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p
+    )
     out = subprocess.run(
         [
             sys.executable, str(REPO / "examples" / "oneshot.py"),
@@ -23,6 +31,10 @@ def test_oneshot_cli_runs(tmp_path):
         text=True,
         timeout=600,  # compiles in the subprocess are slow under suite load
         cwd=REPO,
+        env=env,  # was missing: the child inherited the raw environment,
+        # so the axon TPU plugin initialized and the test hung whenever
+        # the tunnel was slow/down — the source of every historical
+        # "spurious" timeout of this test
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "SDR" in out.stdout

@@ -123,6 +123,18 @@ def test_validation_and_registry():
     assert np.isfinite(Y).all()
 
 
+def test_separate_fused_tip_and_ilrma_t():
+    """algo="tip" / "ilrma_t" run end-to-end in the fused time pipeline."""
+    rng = np.random.default_rng(48)
+    mix, _, _ = make_mixture(rng, n_src=2, n_mics=2, n_samples=8000, snr_db=25)
+    for algo in ("tip", "ilrma_t"):
+        y = api.separate(
+            mix, n_src=2, nfft=256, hop=128, n_iter=4, algo=algo,
+            taps=2, delay=1,
+        )
+        assert y.shape == (8000, 2) and np.isfinite(y).all(), algo
+
+
 def test_sharded_tip_matches_single_device(mixture23):
     import jax
 
