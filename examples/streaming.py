@@ -48,9 +48,18 @@ def main(argv=None):
     p.add_argument(
         "--wpe", type=int, default=0, metavar="TAPS",
         help="streaming WPE dereverberation front with this many taps "
-        "(0 = off; api.OnlineWPE, delay 2)",
+        "(0 = off; api.OnlineWPE, delay 2). Measured NEGATIVE as a "
+        "cascade — prefer --tiss (docs/DESIGN.md §8)",
+    )
+    p.add_argument(
+        "--tiss", type=int, default=0, metavar="TAPS",
+        help="streaming JOINT dereverb + separation with this many taps "
+        "(0 = off; api.OnlineTISS, delay 2 — replaces the separator, "
+        "no cascade)",
     )
     args = p.parse_args(argv)
+    if args.wpe and args.tiss:
+        p.error("--wpe and --tiss are alternatives (cascade vs joint)")
 
     n = int(args.duration * args.fs)
     M = args.mics
@@ -66,9 +75,17 @@ def main(argv=None):
     X = stft_analysis(stft_pad(mix, args.nfft, hop), args.nfft)
     refs = premix[:, 0, :n]
 
-    sep = OnlineAuxIVAISS(
-        n_freq=X.shape[1], n_chan=M, forget=args.forget, n_pass=2
-    )
+    if args.tiss:
+        from overiva_tpu.api import OnlineTISS
+
+        sep = OnlineTISS(
+            n_freq=X.shape[1], n_chan=M, taps=args.tiss, delay=2,
+            forget=args.forget, n_pass=2,
+        )
+    else:
+        sep = OnlineAuxIVAISS(
+            n_freq=X.shape[1], n_chan=M, forget=args.forget, n_pass=2
+        )
     drv = None
     if args.wpe:
         from overiva_tpu.api import OnlineWPE
