@@ -127,156 +127,185 @@ def main():
     check_finite(W)
     value = N_ITER / t30
 
-    # marginal rate: cancel the fixed per-execution dispatch+sync cost
-    t230, W = timed(
-        lambda: overiva_iterations(X, W_hat, Cx, N, 230, "laplace"), repeats=2
-    )
-    check_finite(W)
-    extra["overiva_marginal_it_s"] = round(200 / (t230 - t30), 1)
+    # Every row below is an EXTRA: a failure must not kill the headline
+    # JSON line the driver records. One guarded pass, with the failing
+    # stage named in extra["bench_error"] (rows after it are skipped).
+    _stage = [""]
 
-    # ---- bf16 MXU weighted-covariance mode (wcov="bf16"; quality within
-    # 0.01 dB of f32 on the integration mixtures — tests/test_bf16.py) ----
-    t_bf, W = timed(
-        lambda: overiva_iterations(X, W_hat, Cx, N, N_ITER, "laplace", wcov="bf16")
-    )
-    check_finite(W)
-    extra["overiva_bf16_it_s"] = round(N_ITER / t_bf, 1)
+    def _mark(name):
+        _stage[0] = name
 
-    # ---- f32x3 middle tier (3-pass bf16 MXU decomposition, ~1e-5 relative
-    # operand error vs bf16's ~4e-3 — docs/DESIGN.md §2c round 3) ----
-    t_x3, W = timed(
-        lambda: overiva_iterations(X, W_hat, Cx, N, N_ITER, "laplace", wcov="f32x3")
-    )
-    check_finite(W)
-    extra["overiva_f32x3_it_s"] = round(N_ITER / t_x3, 1)
+    def _extra_rows():
+        _mark("overiva_marginal_it_s")
+        # marginal rate: cancel the fixed per-execution dispatch+sync cost
+        t230, W = timed(
+            lambda: overiva_iterations(X, W_hat, Cx, N, 230, "laplace"), repeats=2
+        )
+        check_finite(W)
+        extra["overiva_marginal_it_s"] = round(200 / (t230 - t30), 1)
 
-    # ---- realistic frame count T=512 ----
-    re5, im5 = _make_mix(rng, 512, F, M)
-    X5 = jax.jit(lambda r, i: r + 1j * i)(re5, im5)
-    W05 = jax.jit(lambda x: x[:0])(X5)
-    W_hat5, Cx5 = _prepare(X5, W05, N, False, True, False)
-    t5, W = timed(lambda: overiva_iterations(X5, W_hat5, Cx5, N, N_ITER, "laplace"))
-    check_finite(W)
-    extra["overiva_T512_it_s"] = round(N_ITER / t5, 1)
-    t5b, W = timed(
-        lambda: overiva_iterations(X5, W_hat5, Cx5, N, N_ITER, "laplace", wcov="bf16")
-    )
-    check_finite(W)
-    extra["overiva_T512_bf16_it_s"] = round(N_ITER / t5b, 1)
-    t5x, W = timed(
-        lambda: overiva_iterations(X5, W_hat5, Cx5, N, N_ITER, "laplace", wcov="f32x3")
-    )
-    check_finite(W)
-    extra["overiva_T512_f32x3_it_s"] = round(N_ITER / t5x, 1)
+        _mark("overiva_bf16_it_s")
+        # ---- bf16 MXU weighted-covariance mode (wcov="bf16"; quality within
+        # 0.01 dB of f32 on the integration mixtures — tests/test_bf16.py) ----
+        t_bf, W = timed(
+            lambda: overiva_iterations(X, W_hat, Cx, N, N_ITER, "laplace", wcov="bf16")
+        )
+        check_finite(W)
+        extra["overiva_bf16_it_s"] = round(N_ITER / t_bf, 1)
 
-    # ---- batched serving throughput: 16 mixtures per fused program.
-    # The sweep/serving fan-out path (api.overiva_batch): dispatch overhead
-    # amortizes across the batch, so the per-mixture rate approaches the
-    # marginal rate. ----
-    B = 16
-    reb = np.stack([_make_mix(rng, 128, F, M)[0] for _ in range(B)])
-    imb = np.stack([_make_mix(rng, 128, F, M)[1] for _ in range(B)])
-    Xb = jax.jit(lambda r, i: r + 1j * i)(reb, imb)
-    prep_b = jax.jit(
-        lambda xb: jax.vmap(lambda x: _prepare(x, x[:0], N, False, True, False))(xb)
-    )
-    W_hatb, Cxb = prep_b(Xb)
-    run_b = jax.jit(
-        lambda xb, wb, cb: jax.vmap(
-            lambda x, w, c: overiva_iterations(x, w, c, N, N_ITER, "laplace")
-        )(xb, wb, cb)
-    )
-    t_b, Wb = timed(lambda: run_b(Xb, W_hatb, Cxb))
-    check_finite(Wb)
-    extra["overiva_batch16_it_s_per_mix"] = round(B * N_ITER / t_b, 1)
+        _mark("overiva_f32x3_it_s")
+        # ---- f32x3 middle tier (3-pass bf16 MXU decomposition, ~1e-5 relative
+        # operand error vs bf16's ~4e-3 — docs/DESIGN.md §2c round 3) ----
+        t_x3, W = timed(
+            lambda: overiva_iterations(X, W_hat, Cx, N, N_ITER, "laplace", wcov="f32x3")
+        )
+        check_finite(W)
+        extra["overiva_f32x3_it_s"] = round(N_ITER / t_x3, 1)
 
-    # ---- WPE dereverb front (extension, ops/wpe.py): full preprocessing
-    # pass at the realistic horizon — T=512, M=8, 5 taps, 2 iterations ----
-    from overiva_tpu.ops.wpe import wpe as _wpe_op
+        _mark("overiva_T512")
+        # ---- realistic frame count T=512 ----
+        re5, im5 = _make_mix(rng, 512, F, M)
+        X5 = jax.jit(lambda r, i: r + 1j * i)(re5, im5)
+        W05 = jax.jit(lambda x: x[:0])(X5)
+        W_hat5, Cx5 = _prepare(X5, W05, N, False, True, False)
+        t5, W = timed(lambda: overiva_iterations(X5, W_hat5, Cx5, N, N_ITER, "laplace"))
+        check_finite(W)
+        extra["overiva_T512_it_s"] = round(N_ITER / t5, 1)
+        t5b, W = timed(
+            lambda: overiva_iterations(X5, W_hat5, Cx5, N, N_ITER, "laplace", wcov="bf16")
+        )
+        check_finite(W)
+        extra["overiva_T512_bf16_it_s"] = round(N_ITER / t5b, 1)
+        t5x, W = timed(
+            lambda: overiva_iterations(X5, W_hat5, Cx5, N, N_ITER, "laplace", wcov="f32x3")
+        )
+        check_finite(W)
+        extra["overiva_T512_f32x3_it_s"] = round(N_ITER / t5x, 1)
 
-    wpe_jit = jax.jit(
-        lambda x: _wpe_op(x, taps=5, delay=2, n_iter=2, diag_load=1e-5)
-    )
-    t_wpe, Yw = timed(lambda: wpe_jit(X5))
-    check_finite(Yw)
-    extra["wpe_T512_taps5_ms"] = round(t_wpe * 1e3, 1)
+        _mark("overiva_batch16")
+        # ---- batched serving throughput: 16 mixtures per fused program.
+        # The sweep/serving fan-out path (api.overiva_batch): dispatch overhead
+        # amortizes across the batch, so the per-mixture rate approaches the
+        # marginal rate. ----
+        B = 16
+        reb = np.stack([_make_mix(rng, 128, F, M)[0] for _ in range(B)])
+        imb = np.stack([_make_mix(rng, 128, F, M)[1] for _ in range(B)])
+        Xb = jax.jit(lambda r, i: r + 1j * i)(reb, imb)
+        prep_b = jax.jit(
+            lambda xb: jax.vmap(lambda x: _prepare(x, x[:0], N, False, True, False))(xb)
+        )
+        W_hatb, Cxb = prep_b(Xb)
+        run_b = jax.jit(
+            lambda xb, wb, cb: jax.vmap(
+                lambda x, w, c: overiva_iterations(x, w, c, N, N_ITER, "laplace")
+            )(xb, wb, cb)
+        )
+        t_b, Wb = timed(lambda: run_b(Xb, W_hatb, Cxb))
+        check_finite(Wb)
+        extra["overiva_batch16_it_s_per_mix"] = round(B * N_ITER / t_b, 1)
 
-    # ---- T-ISS joint dereverb + separation (extension, models/tiss.py):
-    # M=8 -> N=3, 5 taps at the realistic horizon T=512 ----
-    from overiva_tpu.models.tiss import augment_taps, tiss_iterations
+        _mark("wpe_T512")
+        # ---- WPE dereverb front (extension, ops/wpe.py): full preprocessing
+        # pass at the realistic horizon — T=512, M=8, 5 taps, 2 iterations ----
+        from overiva_tpu.ops.wpe import wpe as _wpe_op
 
-    aug_jit = jax.jit(lambda x: augment_taps(x, 5, 2))
-    Xt5 = aug_jit(X5)
-    Pt0 = jax.jit(
-        lambda xt: jnp.zeros((F, M, xt.shape[2]), xt.dtype)
-        .at[:, :, :M].set(jnp.eye(M, dtype=xt.dtype))
-    )(Xt5)
-    t_tiss, (Pt, _) = timed(
-        lambda: tiss_iterations(Xt5, Pt0, N_ITER, "laplace", M, n_src=N)
-    )
-    check_finite(Pt)
-    extra["tiss_T512_taps5_it_s"] = round(N_ITER / t_tiss, 1)
+        wpe_jit = jax.jit(
+            lambda x: _wpe_op(x, taps=5, delay=2, n_iter=2, diag_load=1e-5)
+        )
+        t_wpe, Yw = timed(lambda: wpe_jit(X5))
+        check_finite(Yw)
+        extra["wpe_T512_taps5_ms"] = round(t_wpe * 1e3, 1)
 
-    # ---- OverIVA-IP2 (pairwise updates: ~0.55 ms/iter but 3-5x fewer
-    # iterations to converge than IP1 — tests/test_ip2.py) ----
-    from overiva_tpu.models.overiva_ip2 import overiva_ip2_iterations
+        _mark("tiss_T512")
+        # ---- T-ISS joint dereverb + separation (extension, models/tiss.py):
+        # M=8 -> N=3, 5 taps at the realistic horizon T=512 ----
+        from overiva_tpu.models.tiss import augment_taps, tiss_iterations
 
-    t_ip2, W = timed(
-        lambda: overiva_ip2_iterations(X, W_hat, Cx, N, N_ITER, "laplace")
-    )
-    check_finite(W)
-    extra["overiva_ip2_it_s"] = round(N_ITER / t_ip2, 1)
+        aug_jit = jax.jit(lambda x: augment_taps(x, 5, 2))
+        Xt5 = aug_jit(X5)
+        Pt0 = jax.jit(
+            lambda xt: jnp.zeros((F, M, xt.shape[2]), xt.dtype)
+            .at[:, :, :M].set(jnp.eye(M, dtype=xt.dtype))
+        )(Xt5)
+        t_tiss, (Pt, _) = timed(
+            lambda: tiss_iterations(Xt5, Pt0, N_ITER, "laplace", M, n_src=N)
+        )
+        check_finite(Pt)
+        extra["tiss_T512_taps5_it_s"] = round(N_ITER / t_tiss, 1)
 
-    # ---- AuxIVA-ISS speed tier (determined M=N=8, T=128) ----
-    Weye = jax.jit(
-        lambda x: jnp.broadcast_to(jnp.eye(M, dtype=x.dtype), (F, M, M))
-    )(X)
-    t_iss, (Wi, _) = timed(
-        lambda: auxiva_iss_iterations(X, Weye, N_ITER, "laplace")
-    )
-    check_finite(Wi)
-    extra["auxiva_iss_it_s"] = round(N_ITER / t_iss, 1)
+        _mark("overiva_ip2")
+        # ---- OverIVA-IP2 (pairwise updates: ~0.55 ms/iter but 3-5x fewer
+        # iterations to converge than IP1 — tests/test_ip2.py) ----
+        from overiva_tpu.models.overiva_ip2 import overiva_ip2_iterations
 
-    # ---- OverIVA-ISS (M=8 -> N=3, solve-free overdetermined) ----
-    t_oiss, (Wo, _) = timed(
-        lambda: auxiva_iss_iterations(X, Weye, N_ITER, "laplace", n_src=N)
-    )
-    check_finite(Wo)
-    extra["overiva_iss_it_s"] = round(N_ITER / t_oiss, 1)
+        t_ip2, W = timed(
+            lambda: overiva_ip2_iterations(X, W_hat, Cx, N, N_ITER, "laplace")
+        )
+        check_finite(W)
+        extra["overiva_ip2_it_s"] = round(N_ITER / t_ip2, 1)
 
-    # ---- PCA (M=8 -> N=3) + ISS, the fast overdetermined path ----
-    from overiva_tpu.models import auxiva_pca as _pca_mod
+        _mark("auxiva_iss")
+        # ---- AuxIVA-ISS speed tier (determined M=N=8, T=128) ----
+        Weye = jax.jit(
+            lambda x: jnp.broadcast_to(jnp.eye(M, dtype=x.dtype), (F, M, M))
+        )(X)
+        t_iss, (Wi, _) = timed(
+            lambda: auxiva_iss_iterations(X, Weye, N_ITER, "laplace")
+        )
+        check_finite(Wi)
+        extra["auxiva_iss_it_s"] = round(N_ITER / t_iss, 1)
 
-    pca_jit = jax.jit(lambda x: _pca_mod.pca(x, N, False), static_argnums=())
-    Xr = pca_jit(X)
-    WeyeN = jax.jit(
-        lambda x: jnp.broadcast_to(jnp.eye(N, dtype=x.dtype), (F, N, N))
-    )(Xr)
-    t_pca, (Wr, _) = timed(
-        lambda: auxiva_iss_iterations(pca_jit(X), WeyeN, N_ITER, "laplace")
-    )
-    check_finite(Wr)
-    extra["pca_iss_it_s"] = round(N_ITER / t_pca, 1)
+        _mark("overiva_iss")
+        # ---- OverIVA-ISS (M=8 -> N=3, solve-free overdetermined) ----
+        t_oiss, (Wo, _) = timed(
+            lambda: auxiva_iss_iterations(X, Weye, N_ITER, "laplace", n_src=N)
+        )
+        check_finite(Wo)
+        extra["overiva_iss_it_s"] = round(N_ITER / t_oiss, 1)
 
-    # ---- FastMNMF2 (full-rank spatial model, M=8 slots, L=2) ----
-    from overiva_tpu.models.fastmnmf2 import (
-        fastmnmf2_iterations, unit_power, whiten_q,
-    )
+        _mark("pca_iss")
+        # ---- PCA (M=8 -> N=3) + ISS, the fast overdetermined path ----
+        from overiva_tpu.models import auxiva_pca as _pca_mod
 
-    Xu, _ = jax.jit(unit_power)(X)
-    Qw = jax.jit(whiten_q)(Xu)
-    rngf = np.random.default_rng(1)
-    g0 = np.full((M, M), 1e-2, np.float32)
-    g0[np.arange(M), np.arange(M)] = 1.0
-    g0 /= g0.sum(axis=1, keepdims=True)
-    Wn = (rngf.random((M, F, 2)) + 0.1).astype(np.float32)
-    Hn = (rngf.random((M, 2, 128)) + 0.1).astype(np.float32)
-    gd, Wd, Hd = jnp.asarray(g0), jnp.asarray(Wn), jnp.asarray(Hn)
-    t_fm, (Qf, _, _, _) = timed(
-        lambda: fastmnmf2_iterations(Xu, Qw, gd, Wd, Hd, N_ITER)
-    )
-    check_finite(Qf)
-    extra["fastmnmf2_it_s"] = round(N_ITER / t_fm, 1)
+        pca_jit = jax.jit(lambda x: _pca_mod.pca(x, N, False), static_argnums=())
+        Xr = pca_jit(X)
+        WeyeN = jax.jit(
+            lambda x: jnp.broadcast_to(jnp.eye(N, dtype=x.dtype), (F, N, N))
+        )(Xr)
+        t_pca, (Wr, _) = timed(
+            lambda: auxiva_iss_iterations(pca_jit(X), WeyeN, N_ITER, "laplace")
+        )
+        check_finite(Wr)
+        extra["pca_iss_it_s"] = round(N_ITER / t_pca, 1)
+
+        _mark("fastmnmf2")
+        # ---- FastMNMF2 (full-rank spatial model, M=8 slots, L=2) ----
+        from overiva_tpu.models.fastmnmf2 import (
+            fastmnmf2_iterations, unit_power, whiten_q,
+        )
+
+        Xu, _ = jax.jit(unit_power)(X)
+        Qw = jax.jit(whiten_q)(Xu)
+        rngf = np.random.default_rng(1)
+        g0 = np.full((M, M), 1e-2, np.float32)
+        g0[np.arange(M), np.arange(M)] = 1.0
+        g0 /= g0.sum(axis=1, keepdims=True)
+        Wn = (rngf.random((M, F, 2)) + 0.1).astype(np.float32)
+        Hn = (rngf.random((M, 2, 128)) + 0.1).astype(np.float32)
+        gd, Wd, Hd = jnp.asarray(g0), jnp.asarray(Wn), jnp.asarray(Hn)
+        t_fm, (Qf, _, _, _) = timed(
+            lambda: fastmnmf2_iterations(Xu, Qw, gd, Wd, Hd, N_ITER)
+        )
+        check_finite(Qf)
+        extra["fastmnmf2_it_s"] = round(N_ITER / t_fm, 1)
+
+
+    try:
+        _extra_rows()
+    except Exception as e:
+        extra["bench_error"] = (
+            f"{_stage[0]}: {type(e).__name__}: {e}"[:200]
+        )
 
     print(
         json.dumps(
