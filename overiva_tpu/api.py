@@ -808,15 +808,18 @@ def auxiva_pca(
     """PCA to n_src dims then determined AuxIVA; projection back against the
     ORIGINAL mic 0. Reference: ``auxiva_pca.py``.
 
-    ``inner``: "ip" (reference-matching iterative projection) or "iss"
+    ``inner``: "ip" (reference-matching iterative projection), "iss"
     (rank-1 source steering — the fast overdetermined path on TPU: one eigh
-    + solve-free iterations)."""
+    + solve-free iterations), or "ip2" (pairwise joint updates — fewest
+    iterations to converge; needs n_src >= 2)."""
     X = np.asarray(X)
     T, F, M = X.shape
     N = M if n_src is None else int(n_src)
+    if inner == "ip2" and N < 2:
+        raise ValueError("inner='ip2' needs n_src >= 2")
     X_r = pca(X, N, dtype=dtype) if N < M else X
 
-    inner_fn = {"ip": auxiva, "iss": auxiva_iss}[inner]
+    inner_fn = {"ip": auxiva, "iss": auxiva_iss, "ip2": auxiva_ip2}[inner]
     res = inner_fn(
         X_r,
         n_src=N,
@@ -2542,6 +2545,12 @@ def _auxiva_pca_batch_jit(X, n_src, n_iter, model, inner, proj_back):
         Xr = _pca_mod.pca(Xb, n_src, False) if n_src < M else Xb
         if inner == "ip":
             Y, _ = overiva_run(Xr, n_src, n_iter, model)
+        elif inner == "ip2":  # pairwise joint updates on the reduced dims
+            from .models.overiva_ip2 import overiva_ip2_iterations
+
+            W_hat, Cx = _prepare(Xr, Xr[:0], n_src, False, False, False)
+            W_hat = overiva_ip2_iterations(Xr, W_hat, Cx, n_src, n_iter, model)
+            Y = _core.demix(Xr, W_hat[:, :n_src, :])
         else:  # iss
             W = jnp.broadcast_to(
                 jnp.eye(n_src, dtype=Xb.dtype), (Xb.shape[1], n_src, n_src)
@@ -2578,8 +2587,10 @@ def auxiva_pca_batch(
     N = M if n_src is None else int(n_src)
     if not 1 <= N <= M:
         raise ValueError("need 1 <= n_src <= n_chan")
-    if inner not in ("ip", "iss"):
-        raise ValueError(f"inner must be 'ip' or 'iss', got {inner!r}")
+    if inner not in ("ip", "iss", "ip2"):
+        raise ValueError(f"inner must be 'ip', 'iss' or 'ip2', got {inner!r}")
+    if inner == "ip2" and N < 2:
+        raise ValueError("inner='ip2' needs n_src >= 2")
     Xd = _to_device(X, np.dtype(dtype or DEFAULT_DTYPE))
     re, im = _auxiva_pca_batch_jit(
         Xd, N, int(n_iter), model, inner, bool(proj_back)

@@ -112,6 +112,9 @@ ALGORITHMS: dict[str, AlgorithmSpec] = {
         AlgorithmSpec("auxiva_pca-iss", api.auxiva_pca,
                       defaults={"n_iter": 20, "inner": "iss"},
                       batch=api.auxiva_pca_batch),
+        AlgorithmSpec("auxiva_pca-ip2", api.auxiva_pca, min_src=2,
+                      defaults={"n_iter": 10, "inner": "ip2"},
+                      batch=api.auxiva_pca_batch),
         AlgorithmSpec("sparseauxiva", api.sparseauxiva, determined=True,
                       defaults={"n_iter": 20}, batch=api.sparseauxiva_batch),
         AlgorithmSpec("ilrma", api.ilrma, determined=True,

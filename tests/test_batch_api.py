@@ -132,7 +132,7 @@ def test_fastmnmf2_batch_explicit_seeds(batch43):
         np.testing.assert_allclose(Yb[b], Yref, rtol=1e-7, atol=1e-9)
 
 
-@pytest.mark.parametrize("inner", ["ip", "iss"])
+@pytest.mark.parametrize("inner", ["ip", "iss", "ip2"])
 def test_auxiva_pca_batch_matches_loop(batch43, inner):
     batch = batch43
     Yb = api.auxiva_pca_batch(

@@ -49,6 +49,7 @@ def test_registry_names_are_complete():
         "auxiva", "auxiva-gauss", "auxiva-iss", "auxiva-iss-gauss",
         "overiva", "overiva-gauss", "overiva-iss", "overiva-iss-gauss",
         "overiva-ip2", "overiva-ip2-gauss", "auxiva_pca", "auxiva_pca-iss",
+        "auxiva_pca-ip2",
         "sparseauxiva", "ilrma", "ilrma-t", "fastmnmf", "fastmnmf2", "five",
         "ogive", "ogive-mix", "ogive-switching", "tiss", "tiss-gauss",
         "tip", "tip-gauss",
