@@ -24,6 +24,7 @@ enable_persistent_cache()
 
 import overiva_tpu.oracle as oracle
 from overiva_tpu import api
+from overiva_tpu.oracle.ilrma_t import ilrma_t as oracle_ilrma_t
 from overiva_tpu.metrics import bss_eval_sources
 from overiva_tpu.sim import ShoeBox, circular_mic_array, semi_circle_layout, speech_like
 
@@ -81,6 +82,20 @@ def main(argv=None):
             ("sparseauxiva M=N=2",
              lambda X: oracle.sparseauxiva(X[:, :, :2], n_iter=15),
              lambda X: api.sparseauxiva(X[:, :, :2], n_iter=15)),
+            ("tiss M=5,N=2",
+             lambda X: oracle.tiss(X, n_src=2, taps=3, delay=2, n_iter=15),
+             lambda X: api.tiss(X, n_src=2, taps=3, delay=2, n_iter=15)),
+            ("tip M=5,N=2",
+             lambda X: oracle.tip(X, n_src=2, taps=3, delay=2, n_iter=5,
+                                  warm_iter=5),
+             lambda X: api.tip(X, n_src=2, taps=3, delay=2, n_iter=5,
+                               warm_iter=5)),
+            ("ilrma_t M=N=2",
+             lambda X: oracle_ilrma_t(
+                 X[:, :, :2], taps=3, delay=2, n_iter=15, seed=5
+             ),
+             lambda X: api.ilrma_t(X[:, :, :2], taps=3, delay=2, n_iter=15,
+                                   seed=5)),
         ]
 
     print(f"{'algorithm':20s} {'|dSDR| dB':>10s} {'|dSIR| dB':>10s}  gate 0.1 dB")
