@@ -6,6 +6,14 @@ the float64 NumPy oracle — and reports the SDR/SIR deltas against the
 framework's 0.1 dB acceptance gate (BASELINE.md).
 
     python examples/parity_check.py [--quick]
+
+Known case: overiva-gauss can exceed the gate on some seeds from the
+INTRINSIC complex64 cost alone (decomposed on seed 7: 0.11 dB
+oracle-f64-vs-oracle-c64 floor + 0.07 dB chaotic c64-vs-c64 trajectory
+divergence — PARITY.md "Hardware parity margins"). The CI gates are the
+authoritative checks: 0.1 dB c64-vs-f64 on the pinned configs plus the
+0.02 dB same-precision gate that isolates implementation drift from the
+precision floor (tests/test_integration.py).
 """
 
 from __future__ import annotations
@@ -21,6 +29,19 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from overiva_tpu.utils.cache import enable_persistent_cache
 
 enable_persistent_cache()
+
+import os
+
+if os.environ.get("OVERIVA_FORCE_CPU"):
+    # The axon TPU plugin re-prepends its platform at jax import, so the
+    # JAX_PLATFORMS env var alone does not stick — the in-process config
+    # update is authoritative (same hook as oneshot.py / streaming.py /
+    # mbss_sim.py). Without it this script tries to initialize the TPU
+    # backend even under JAX_PLATFORMS=cpu and dies when the tunnel is
+    # down. (CPU runs measure oracle-vs-JAX-c64 parity, not hardware.)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import overiva_tpu.oracle as oracle
 from overiva_tpu import api

@@ -519,14 +519,16 @@ def tiss(
     return Y
 
 
-@partial(jax.jit, static_argnames=("n_iter", "model", "n_chan", "n_src"))
-def _tip_chunk(Xt, P, n_iter, model, n_chan, n_src):
+@partial(
+    jax.jit, static_argnames=("n_iter", "model", "n_chan", "n_src", "wcov")
+)
+def _tip_chunk(Xt, P, n_iter, model, n_chan, n_src, wcov="f32"):
     from .models.tip import _tip_epoch
 
     return jax.lax.fori_loop(
         0,
         n_iter,
-        lambda _, p: _tip_epoch(Xt, p, model, n_chan, n_src=n_src),
+        lambda _, p: _tip_epoch(Xt, p, model, n_chan, n_src=n_src, wcov=wcov),
         P,
     )
 
@@ -545,6 +547,7 @@ def tip(
     callback=None,
     callback_every=10,
     dtype=None,
+    wcov="f32",
 ):
     """T-IP: joint dereverberation + separation with EXACT iterative-
     projection row updates on the augmented input (the solve-based sibling
@@ -559,7 +562,10 @@ def tip(
     the stronger polish on the hard-room probe (docs/DESIGN.md §8).
 
     ``taps=0, n_src=M`` degenerates exactly to :func:`auxiva` (cold
-    start — the warm-up is skipped at taps=0).
+    start — the warm-up is skipped at taps=0). ``wcov`` selects the
+    MJ-dim weighted-covariance tier ("f32" exact / "f32x3" / "bf16" MXU
+    serving modes — ops/covariance.py; T-IP's covariance is MJ-sized, so
+    the MXU tiers bite harder here than on the M<=8 IVA wcov).
     """
     from .models.tip import tip_iterations
     from .models.tiss import tiss_iterations
@@ -572,6 +578,8 @@ def tip(
     taps, delay = int(taps), int(delay)
     if taps < 0 or (taps > 0 and delay < 1):
         raise ValueError("need taps >= 0 and delay >= 1 when taps > 0")
+    if str(wcov) not in WCOV_MODES:
+        raise ValueError(f"wcov must be one of {WCOV_MODES}, got {wcov!r}")
     cdtype = np.dtype(dtype or DEFAULT_DTYPE)
 
     Xd = _to_device(X, cdtype)
@@ -594,7 +602,9 @@ def tip(
             P, _ = tiss_iterations(Xt, P, int(warm_iter), model, M, n_src=N)
 
     if callback is None:
-        P = tip_iterations(Xt, P, int(n_iter), model, M, n_src=N)
+        P = tip_iterations(
+            Xt, P, int(n_iter), model, M, n_src=N, wcov=str(wcov)
+        )
     else:
         done = 0
         while done < n_iter:
@@ -602,7 +612,7 @@ def tip(
             re, im = _snapshot_y(Xd, _take_srcs(Yd, N))
             callback(merge_np(np.asarray(re), np.asarray(im)))
             step = min(callback_every, n_iter - done)
-            P = _tip_chunk(Xt, P, step, model, M, N)
+            P = _tip_chunk(Xt, P, step, model, M, N, str(wcov))
             done += step
 
     Yd = _demix_jit(Xt, P)
@@ -2240,10 +2250,13 @@ def tiss_batch(
 @partial(
     jax.jit,
     static_argnames=(
-        "n_src", "taps", "delay", "n_iter", "warm_iter", "model", "proj_back"
+        "n_src", "taps", "delay", "n_iter", "warm_iter", "model", "proj_back",
+        "wcov",
     ),
 )
-def _tip_batch_jit(X, n_src, taps, delay, n_iter, warm_iter, model, proj_back):
+def _tip_batch_jit(
+    X, n_src, taps, delay, n_iter, warm_iter, model, proj_back, wcov="f32"
+):
     from .models.tip import tip_iterations
     from .models.tiss import augment_taps, tiss_iterations
     from .models.overiva import demix
@@ -2257,7 +2270,7 @@ def _tip_batch_jit(X, n_src, taps, delay, n_iter, warm_iter, model, proj_back):
         P = P.at[:, :, :M].set(jnp.eye(M, dtype=Xb.dtype))
         if warm_iter > 0 and taps > 0:
             P, _ = tiss_iterations(Xt, P, warm_iter, model, M, n_src=n_src)
-        P = tip_iterations(Xt, P, n_iter, model, M, n_src=n_src)
+        P = tip_iterations(Xt, P, n_iter, model, M, n_src=n_src, wcov=wcov)
         Y = demix(Xt, P)[:, :, :n_src]
         if proj_back:
             Y = apply_projection_back(Y, Xb[:, :, 0])
@@ -2269,7 +2282,7 @@ def _tip_batch_jit(X, n_src, taps, delay, n_iter, warm_iter, model, proj_back):
 
 def tip_batch(
     X, n_src=None, taps=5, delay=2, n_iter=10, warm_iter=10, proj_back=True,
-    model="laplace", dtype=None, device=False,
+    model="laplace", dtype=None, wcov="f32", device=False,
 ):
     """Batch of same-shape mixtures through T-IP (see :func:`tip`) in ONE
     fused XLA program (warm-up T-ISS epochs included in-program).
@@ -2283,10 +2296,12 @@ def tip_batch(
     taps, delay = int(taps), int(delay)
     if taps < 0 or (taps > 0 and delay < 1):
         raise ValueError("need taps >= 0 and delay >= 1 when taps > 0")
+    if str(wcov) not in WCOV_MODES:
+        raise ValueError(f"wcov must be one of {WCOV_MODES}, got {wcov!r}")
     Xd = _to_device(X, np.dtype(dtype or DEFAULT_DTYPE))
     re, im = _tip_batch_jit(
         Xd, N, taps, delay, int(n_iter), int(warm_iter), model,
-        bool(proj_back),
+        bool(proj_back), str(wcov),
     )
     return _from_jit(re, im, device)
 

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops.covariance import weighted_covariance_all
 from ..ops.linalg import PRECISION, gauss_solve
 from .overiva import demix
 from .source_models import activations_from_power, power
@@ -32,7 +33,7 @@ _EPS = 1e-15
 
 def _tip_epoch(
     Xt, P, model, n_chan, axis_name=None, n_freq=None, bin_mask=None,
-    n_src=None,
+    n_src=None, wcov: str = "f32",
 ):
     """One T-IP epoch. Xt: (T, F, MJ); P: (F, M, MJ) top block."""
     T, F, MJ = Xt.shape
@@ -50,10 +51,10 @@ def _tip_epoch(
         )
 
     for k in range(M):
-        Xw = Xt * phif[:, k][:, None, None].astype(Xt.real.dtype)
-        V = jnp.einsum(
-            "tfa,tfb->fab", Xw, jnp.conj(Xt), precision=PRECISION
-        ) / T  # (F, MJ, MJ)
+        # MJ-dim weighted covariance — unlike the M<=8 IVA wcov this is
+        # genuinely MXU-sized, so the bf16/f32x3 serving tiers of
+        # ops/covariance.py apply (wcov="f32" is the exact parity path)
+        V = weighted_covariance_all(Xt, phif[:, k : k + 1], wcov)[0]
         PV_top = jnp.einsum(
             "fmj,fjb->fmb", P, V, precision=PRECISION
         )  # (F, M, MJ)
@@ -74,7 +75,9 @@ def _tip_epoch(
 
 @partial(
     jax.jit,
-    static_argnames=("n_iter", "model", "n_chan", "axis_name", "n_freq", "n_src"),
+    static_argnames=(
+        "n_iter", "model", "n_chan", "axis_name", "n_freq", "n_src", "wcov"
+    ),
 )
 def tip_iterations(
     Xt,
@@ -86,13 +89,14 @@ def tip_iterations(
     n_freq=None,
     bin_mask=None,
     n_src=None,
+    wcov: str = "f32",
 ):
     """Run n_iter fused T-IP epochs on the augmented input. Returns P."""
     return lax.fori_loop(
         0,
         n_iter,
         lambda _, p: _tip_epoch(
-            Xt, p, model, n_chan, axis_name, n_freq, bin_mask, n_src
+            Xt, p, model, n_chan, axis_name, n_freq, bin_mask, n_src, wcov
         ),
         P,
     )

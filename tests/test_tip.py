@@ -104,6 +104,24 @@ def test_batch_matches_single(mixture23):
         np.testing.assert_allclose(Yb[b], Yref, rtol=1e-8, atol=1e-10)
 
 
+def test_wcov_tiers(mixture23):
+    """wcov="bf16"/"f32x3" run finite and land near the f32 path on a
+    well-conditioned mixture (serving tiers — ops/covariance.py; exact
+    parity stays on the default f32)."""
+    X = mixture23.astype(np.complex64)
+    Yf = api.tip(X, n_src=2, taps=2, delay=1, n_iter=3, warm_iter=2)
+    with pytest.raises(ValueError):
+        api.tip(X, wcov="fp8")
+    for mode in ("f32x3", "bf16"):
+        Ym = api.tip(
+            X, n_src=2, taps=2, delay=1, n_iter=3, warm_iter=2, wcov=mode
+        )
+        assert np.isfinite(Ym).all(), mode
+        # energy-level agreement (trajectories may diverge slightly)
+        rel = np.linalg.norm(Ym - Yf) / np.linalg.norm(Yf)
+        assert rel < (0.02 if mode == "f32x3" else 0.3), (mode, rel)
+
+
 def test_validation_and_registry():
     X = np.zeros((8, 5, 2), np.complex64)
     with pytest.raises(ValueError):
