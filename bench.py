@@ -233,6 +233,20 @@ def main():
         check_finite(Pt)
         extra["tiss_T512_taps5_it_s"] = round(N_ITER / t_tiss, 1)
 
+        _mark("tip_T512")
+        # ---- T-IP joint (exact MJ-dim IP rows, models/tip.py): the
+        # registry default program — 10 warm T-ISS + 10 T-IP epochs ----
+        from overiva_tpu.models.tip import tip_iterations
+
+        def tip_prog():
+            P1, _ = tiss_iterations(Xt5, Pt0, 10, "laplace", M, n_src=N)
+            return tip_iterations(Xt5, P1, 10, "laplace", M, n_src=N)
+
+        tip_jit = jax.jit(tip_prog)
+        t_tip, Pt2 = timed(tip_jit)
+        check_finite(Pt2)
+        extra["tip_T512_taps5_ms"] = round(t_tip * 1e3, 1)
+
         _mark("overiva_ip2")
         # ---- OverIVA-IP2 (pairwise updates: ~0.55 ms/iter but 3-5x fewer
         # iterations to converge than IP1 — tests/test_ip2.py) ----
