@@ -427,6 +427,24 @@ def _tiss_eye(Xt, n_chan):
     return P.at[:, :, :n_chan].set(jnp.eye(n_chan, dtype=Xt.dtype))
 
 
+def _augmented_w0(W0, F, M, N, taps, cdtype):
+    """User W0 -> device (F, M, M + M*taps) augmented stack (shared by the
+    joint-dereverb entry points). Accepts a previous full augmented P, a
+    square (F, M, M) stack (zero tap block), or (F, N, M) target rows
+    (placed into identity)."""
+    W0h = _to_host(W0) if isinstance(W0, jax.Array) else np.asarray(W0)
+    if W0h.shape[2] == M + M * taps:
+        P0 = W0h.copy()
+    else:
+        P0 = np.zeros((F, M, M + M * taps), W0h.dtype)
+        P0[:, :, :M] = np.eye(M)
+        if W0h.shape[1] == M:
+            P0[:, :, :M] = W0h
+        else:
+            P0[:, :N, :M] = W0h
+    return _to_device(P0, cdtype)
+
+
 @partial(jax.jit, static_argnames=("n_iter", "model", "n_chan", "n_src"))
 def _tiss_chunk(Xt, P, Y, n_iter, model, n_chan, n_src):
     from .models.tiss import _tiss_epoch
@@ -486,17 +504,7 @@ def tiss(
     Xd = _to_device(X, cdtype)
     Xt = _tiss_augment(Xd, taps, delay)
     if W0 is not None:
-        W0h = _to_host(W0) if isinstance(W0, jax.Array) else np.asarray(W0)
-        if W0h.shape[2] == M + M * taps:
-            P0 = W0h.copy()
-        else:
-            P0 = np.zeros((F, M, M + M * taps), W0h.dtype)
-            P0[:, :, :M] = np.eye(M)
-            if W0h.shape[1] == M:
-                P0[:, :, :M] = W0h
-            else:
-                P0[:, :N, :M] = W0h
-        P = _to_device(P0, cdtype)
+        P = _augmented_w0(W0, F, M, N, taps, cdtype)
     else:
         P = _tiss_eye(Xt, M)
 
@@ -585,17 +593,7 @@ def tip(
     Xd = _to_device(X, cdtype)
     Xt = _tiss_augment(Xd, taps, delay)
     if W0 is not None:
-        W0h = _to_host(W0) if isinstance(W0, jax.Array) else np.asarray(W0)
-        if W0h.shape[2] == M + M * taps:
-            P0 = W0h.copy()
-        else:
-            P0 = np.zeros((F, M, M + M * taps), W0h.dtype)
-            P0[:, :, :M] = np.eye(M)
-            if W0h.shape[1] == M:
-                P0[:, :, :M] = W0h
-            else:
-                P0[:, :N, :M] = W0h
-        P = _to_device(P0, cdtype)
+        P = _augmented_w0(W0, F, M, N, taps, cdtype)
     else:
         P = _tiss_eye(Xt, M)
         if warm_iter > 0 and taps > 0:
@@ -678,13 +676,7 @@ def ilrma_t(
     Xd = _to_device(X, cdtype)
     Xt = _tiss_augment(Xd, taps, delay)
     if W0 is not None:
-        W0h = _to_host(W0) if isinstance(W0, jax.Array) else np.asarray(W0)
-        if W0h.shape[2] == M + M * taps:
-            P0 = W0h.copy()
-        else:
-            P0 = np.zeros((F, M, M + M * taps), W0h.dtype)
-            P0[:, :, :M] = W0h
-        P = _to_device(P0, cdtype)
+        P = _augmented_w0(W0, F, M, N, taps, cdtype)
     else:
         P = _tiss_eye(Xt, M)
 
