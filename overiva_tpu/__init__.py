@@ -1,10 +1,15 @@
 """overiva_tpu — TPU-native blind source separation framework.
 
-A from-scratch JAX/XLA/Pallas framework with the capabilities of the
+A from-scratch JAX/XLA framework with the capabilities of the
 ``onolab-tmu/overiva`` reference (WASPAA 2019 OverIVA companion code):
 STFT-domain blind source separation with AuxIVA, OverIVA, OGIVE and
 PCA+AuxIVA, plus the evaluation/simulation harness around them
-(bss_eval metrics, shoebox image-source room simulation, Monte-Carlo sweep).
+(bss_eval metrics, shoebox image-source room simulation, Monte-Carlo
+sweep) — and extensions: ISS/IP2 update rules, FIVE, ILRMA,
+FastMNMF1/2, SparseAuxIVA, WPE dereverberation, the joint
+dereverberation+separation family (tiss/tip/ilrma_t), and streaming
+(OnlineAuxIVAISS/OnlineWPE/OnlineTISS). Every family has a NumPy
+oracle twin, a batched runner, and a bin-sharded multi-chip path.
 
 Public API mirrors the reference (SURVEY.md §2):
 
