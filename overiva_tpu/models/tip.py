@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.covariance import weighted_covariance_all
-from ..ops.linalg import PRECISION, gauss_solve
+from ..ops.linalg import PRECISION, clamp_pow2, gauss_solve
 from .overiva import demix
 from .source_models import activations_from_power, power
 from .tiss import augment_taps  # noqa: F401  (re-export for callers)
@@ -61,14 +61,24 @@ def _tip_epoch(
         PV = jnp.concatenate([PV_top, V[:, M:, :]], axis=1)
         rhs = jnp.zeros((F, MJ, 1), Xt.dtype).at[:, k, 0].set(1.0)
         w = gauss_solve(PV, rhs)[:, :, 0]  # (F, MJ)
-        denom = jnp.real(
-            jnp.einsum(
-                "fa,fab,fb->f", jnp.conj(w), V, w, precision=PRECISION
-            )
-        )
-        w = w / jnp.sqrt(jnp.maximum(denom, _EPS)).astype(w.real.dtype)[:, None]
+        # knife-edge guards (docs/DESIGN.md §4b, F-major twins of the IP
+        # family's): exact pow-2 clamp keeps the f32 quadratic form from
+        # overflowing on near-singular bins, and the guarded normalizer
+        # keeps the PREVIOUS row where the form has no significant bits —
+        # without these, 6/20 hard-room M=8 instances collapsed to zero
+        # outputs at 20 polish epochs (healthy bins are bit-unchanged)
+        w = clamp_pow2(w)
+        t = jnp.real(jnp.conj(w)[:, :, None] * V * w[:, None, :])  # (F,MJ,MJ)
+        denom = jnp.sum(t, axis=(1, 2))
+        ref = jnp.sum(jnp.abs(t), axis=(1, 2))
+        eps = jnp.finfo(denom.dtype).eps
+        good = denom > 4.0 * eps * ref
+        w = w / jnp.sqrt(
+            jnp.where(good, denom, 1.0)
+        ).astype(w.real.dtype)[:, None]
+        row = jnp.where(good[:, None], jnp.conj(w), P[:, k, :])
         P = jnp.concatenate(
-            [P[:, :k], jnp.conj(w)[:, None, :], P[:, k + 1 :]], axis=1
+            [P[:, :k], row[:, None, :], P[:, k + 1 :]], axis=1
         )
     return P
 
