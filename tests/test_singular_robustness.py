@@ -126,6 +126,7 @@ def test_quad_form_guard():
     ("overiva", {"model": "gauss", "init_eig": True, "n_src": 2}),
     ("overiva_ip2", {"n_src": 2}),
     ("ilrma", {}),
+    ("tip", {"n_src": 2, "taps": 2, "delay": 1, "warm_iter": 3}),
 ])
 def test_degenerate_mixture_stays_finite(algo, kw):
     """A mixture with a duplicated channel (rank-deficient Cx -> singular
@@ -143,6 +144,7 @@ def test_degenerate_mixture_stays_finite(algo, kw):
     ("overiva", {"n_src": 2}),
     ("overiva_ip2", {"n_src": 2}),
     ("ilrma", {}),
+    ("tip", {"taps": 2, "delay": 1, "warm_iter": 3}),
 ])
 def test_near_singular_mixing_no_collapse(algo, kw):
     """Near-singular 2x2 mixing (columns almost parallel): every bin is
