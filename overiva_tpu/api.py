@@ -423,25 +423,28 @@ def _tiss_augment(X, taps, delay):
 
 @partial(jax.jit, static_argnames=("n_chan",))
 def _tiss_eye(Xt, n_chan):
-    P = jnp.zeros((Xt.shape[1], n_chan, Xt.shape[2]), Xt.dtype)
-    return P.at[:, :, :n_chan].set(jnp.eye(n_chan, dtype=Xt.dtype))
+    from .models.tiss import augmented_eye
+
+    return augmented_eye(Xt, n_chan)
 
 
 def _augmented_w0(W0, F, M, N, taps, cdtype):
     """User W0 -> device (F, M, M + M*taps) augmented stack (shared by the
     joint-dereverb entry points). Accepts a previous full augmented P, a
     square (F, M, M) stack (zero tap block), or (F, N, M) target rows
-    (placed into identity)."""
+    (placed into identity). Dispatch on the ROW count first: at taps=0
+    the full-augmented and square widths coincide, and testing width
+    first misrouted (F, N, M) target rows into the full branch."""
     W0h = _to_host(W0) if isinstance(W0, jax.Array) else np.asarray(W0)
-    if W0h.shape[2] == M + M * taps:
-        P0 = W0h.copy()
-    else:
+    if W0h.shape[1] != M:  # (F, N, M) target rows into identity
         P0 = np.zeros((F, M, M + M * taps), W0h.dtype)
         P0[:, :, :M] = np.eye(M)
-        if W0h.shape[1] == M:
-            P0[:, :, :M] = W0h
-        else:
-            P0[:, :N, :M] = W0h
+        P0[:, :N, :M] = W0h
+    elif W0h.shape[2] == M + M * taps:  # full augmented (== square at taps=0)
+        P0 = W0h.copy()
+    else:  # square (F, M, M), zero tap block
+        P0 = np.zeros((F, M, M + M * taps), W0h.dtype)
+        P0[:, :, :M] = W0h
     return _to_device(P0, cdtype)
 
 
@@ -1700,7 +1703,7 @@ def _separate_time_jit(x, nfft, hop, n_src, n_iter, model, init_eig,
     from .models.auxiva_iss import auxiva_iss_iterations
     from .models.overiva import overiva_run
     from .models.overiva_ip2 import overiva_ip2_iterations
-    from .models.tiss import augment_taps, tiss_iterations
+    from .models.tiss import augment_taps, augmented_eye, tiss_iterations
     from .ops.projection import apply_projection_back
 
     X = _stft.analysis(x, nfft, hop)
@@ -1715,8 +1718,7 @@ def _separate_time_jit(x, nfft, hop, n_src, n_iter, model, init_eig,
     elif algo == "tiss":  # joint dereverb + separation (rank-1 steering)
         M = X.shape[2]
         Xt = augment_taps(X, tiss_taps, tiss_delay)
-        P = jnp.zeros((X.shape[1], M, Xt.shape[2]), X.dtype)
-        P = P.at[:, :, :M].set(jnp.eye(M, dtype=X.dtype))
+        P = augmented_eye(Xt, M)
         _, Y = tiss_iterations(Xt, P, n_iter, model, M, n_src=n_src)
         Y = Y[:, :, :n_src]
     elif algo == "tip":  # joint dereverb + separation (exact IP rows)
@@ -1724,8 +1726,7 @@ def _separate_time_jit(x, nfft, hop, n_src, n_iter, model, init_eig,
 
         M = X.shape[2]
         Xt = augment_taps(X, tiss_taps, tiss_delay)
-        P = jnp.zeros((X.shape[1], M, Xt.shape[2]), X.dtype)
-        P = P.at[:, :, :M].set(jnp.eye(M, dtype=X.dtype))
+        P = augmented_eye(Xt, M)
         if tiss_taps:  # warm start (measured essential — oracle/tip.py)
             P, _ = tiss_iterations(Xt, P, 10, model, M, n_src=n_src)
         P = tip_iterations(Xt, P, n_iter, model, M, n_src=n_src)
@@ -1736,8 +1737,7 @@ def _separate_time_jit(x, nfft, hop, n_src, n_iter, model, init_eig,
         T, F, M = X.shape
         L = 2
         Xt = augment_taps(X, tiss_taps, tiss_delay)
-        P = jnp.zeros((F, M, Xt.shape[2]), X.dtype)
-        P = P.at[:, :, :M].set(jnp.eye(M, dtype=X.dtype))
+        P = augmented_eye(Xt, M)
         rdt = jnp.finfo(X.dtype).dtype
         k1, k2 = jax.random.split(jax.random.PRNGKey(0))
         Bn = jax.random.uniform(k1, (M, F, L), rdt) + 0.1
@@ -2189,15 +2189,14 @@ def overiva_iss_batch(X, n_src, **kw):
 )
 def _tiss_batch_jit(X, n_src, taps, delay, n_iter, model, proj_back):
     from .models.overiva import demix
-    from .models.tiss import _tiss_epoch, augment_taps
+    from .models.tiss import _tiss_epoch, augment_taps, augmented_eye
     from .ops.projection import apply_projection_back
 
     M = X.shape[3]
 
     def one(Xb):
         Xt = augment_taps(Xb, taps, delay)
-        P = jnp.zeros((Xb.shape[1], M, Xt.shape[2]), Xb.dtype)
-        P = P.at[:, :, :M].set(jnp.eye(M, dtype=Xb.dtype))
+        P = augmented_eye(Xt, M)
         Y = demix(Xt, P)
         _, Y = jax.lax.fori_loop(
             0,
@@ -2250,7 +2249,7 @@ def _tip_batch_jit(
     X, n_src, taps, delay, n_iter, warm_iter, model, proj_back, wcov="f32"
 ):
     from .models.tip import tip_iterations
-    from .models.tiss import augment_taps, tiss_iterations
+    from .models.tiss import augment_taps, augmented_eye, tiss_iterations
     from .models.overiva import demix
     from .ops.projection import apply_projection_back
 
@@ -2258,8 +2257,7 @@ def _tip_batch_jit(
 
     def one(Xb):
         Xt = augment_taps(Xb, taps, delay)
-        P = jnp.zeros((Xb.shape[1], M, Xt.shape[2]), Xb.dtype)
-        P = P.at[:, :, :M].set(jnp.eye(M, dtype=Xb.dtype))
+        P = augmented_eye(Xt, M)
         if warm_iter > 0 and taps > 0:
             P, _ = tiss_iterations(Xt, P, warm_iter, model, M, n_src=n_src)
         P = tip_iterations(Xt, P, n_iter, model, M, n_src=n_src, wcov=wcov)
@@ -2304,14 +2302,14 @@ def tip_batch(
 )
 def _ilrma_t_batch_jit(X, B0, H0, taps, delay, n_iter, proj_back):
     from .models.ilrma_t import augment_taps, ilrma_t_iterations
+    from .models.tiss import augmented_eye
     from .ops.projection import apply_projection_back
 
     M = X.shape[3]
 
     def one(Xb, Bb, Hb):
         Xt = augment_taps(Xb, taps, delay)
-        P = jnp.zeros((Xb.shape[1], M, Xt.shape[2]), Xb.dtype)
-        P = P.at[:, :, :M].set(jnp.eye(M, dtype=Xb.dtype))
+        P = augmented_eye(Xt, M)
         _, Y, _, _ = ilrma_t_iterations(Xt, P, Bb, Hb, n_iter, M)
         if proj_back:
             Y = apply_projection_back(Y, Xb[:, :, 0])

@@ -30,6 +30,13 @@ scene) — with EW-accumulated statistics, folding the block's own
 partially-steered outputs back into the same block's later steps
 self-reinforces.
 
+Statistics accumulate ONCE PER PASS (also the online-ISS convention):
+with n_pass > 1 each block's data enters the EW sums n_pass times and
+the forgetting factor applies n_pass times per block, so the effective
+per-block decay is forget**n_pass (tap stats: tap_forget**n_pass). The
+measured defaults (n_pass=2 in bench/streaming_ab.py) include this —
+retune forget if you change n_pass.
+
 State per stream (all device-resident):
   P        (F, M, M + M*taps)  augmented demixing [W | U]
   num      (M, F, M)   EW sums  E_w[phi_m y_m conj(y_n)]   (source steps)
@@ -75,7 +82,8 @@ def online_tiss_init(F: int, M: int, taps: int, delay: int,
         "den": jnp.zeros((M, F, M), rdtype),
         "zn": jnp.zeros((F, M), dtype),
         "zd": jnp.zeros((F, M), rdtype),
-        "hist": jnp.zeros((taps + delay - 1, F, M), dtype),
+        # max(., 0): taps=0 permits delay=0, where no history is needed
+        "hist": jnp.zeros((max(taps + delay - 1, 0), F, M), dtype),
         "t_eff": jnp.zeros((), rdtype),
     }
     if taps and tap_update == "steer":
@@ -151,11 +159,11 @@ def online_tiss_step(
             blk_tden = jnp.einsum(
                 "tm,tfj->jfm", phif, jnp.abs(Xd) ** 2, precision=PRECISION
             )
-            tden = lam * tden + blk_tden
+            tden = tap_lam * tden + blk_tden
             blk_tnum = jnp.einsum(
                 "tm,tfm,tfj->jfm", phif, Y, jnp.conj(Xd), precision=PRECISION
             )
-            tnum = lam.astype(tnum.dtype) * tnum + blk_tnum
+            tnum = tap_lam.astype(tnum.dtype) * tnum + blk_tnum
             v = tnum / jnp.maximum(tden, _EPS).astype(tnum.dtype)
             P = P.at[:, :, M:].add(-jnp.moveaxis(v, 0, 2))
             state = {**state, "tnum": tnum, "tden": tden}
@@ -197,7 +205,7 @@ def online_tiss_step(
     z = jnp.where(zd > 0.0, zn / jnp.where(zd > 0.0, zd, 1.0).astype(zn.dtype), 1.0)
     Y_out = Y * jnp.conj(z)[None, :, :]
 
-    H = taps + delay - 1
+    H = max(taps + delay - 1, 0)
     new_hist = Xcat[-H:] if H else hist
     state = {
         **state, "P": P, "num": num, "den": den, "zn": zn, "zd": zd,

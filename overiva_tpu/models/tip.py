@@ -53,7 +53,11 @@ def _tip_epoch(
     for k in range(M):
         # MJ-dim weighted covariance — unlike the M<=8 IVA wcov this is
         # genuinely MXU-sized, so the bf16/f32x3 serving tiers of
-        # ops/covariance.py apply (wcov="f32" is the exact parity path)
+        # ops/covariance.py apply (wcov="f32" is the exact parity path).
+        # Deliberately PER SOURCE inside the loop (not the all-K batched
+        # pass the IP families hoist): the batched (M, F, MJ, MJ)
+        # temporary is ~300 MB at the M=8/taps=5 benchmark shape, while
+        # the helper's own A/B found K separate passes perf-neutral.
         V = weighted_covariance_all(Xt, phif[:, k : k + 1], wcov)[0]
         PV_top = jnp.einsum(
             "fmj,fjb->fmb", P, V, precision=PRECISION

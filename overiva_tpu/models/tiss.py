@@ -34,7 +34,7 @@ from ..ops.wpe import delayed_taps
 from .overiva import demix
 from .source_models import activations_from_power, power
 
-__all__ = ["tiss_iterations", "augment_taps"]
+__all__ = ["tiss_iterations", "augment_taps", "augmented_eye"]
 
 _EPS = 1e-15
 
@@ -44,6 +44,14 @@ def augment_taps(X, taps: int, delay: int):
     if taps == 0:
         return X
     return jnp.concatenate([X, delayed_taps(X, taps, delay)], axis=2)
+
+
+def augmented_eye(Xt, n_chan: int):
+    """Identity-initialized augmented demixing: (F, n_chan, MJ) with the
+    instantaneous block = I and a zero tap block (the shared init of
+    every joint-dereverb member; traceable, usable under shard_map)."""
+    P = jnp.zeros((Xt.shape[1], n_chan, Xt.shape[2]), Xt.dtype)
+    return P.at[:, :, :n_chan].set(jnp.eye(n_chan, dtype=Xt.dtype))
 
 
 def _tiss_epoch(

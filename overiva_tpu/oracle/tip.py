@@ -86,13 +86,15 @@ def tip(
     P = np.zeros((F, M, MJ), dtype=X.dtype)
     P[:, :, :M] = np.eye(M, dtype=X.dtype)
     if W0 is not None:
+        # dispatch on the ROW count first: at taps=0 the full-augmented
+        # and square widths coincide (api._augmented_w0 has the same rule)
         W0 = np.asarray(W0)
-        if W0.shape[2] == MJ:
-            P = W0.copy()
-        elif W0.shape[1] == M:
-            P[:, :, :M] = W0
-        else:
+        if W0.shape[1] != M:
             P[:, :N, :M] = W0
+        elif W0.shape[2] == MJ:
+            P = W0.copy()
+        else:
+            P[:, :, :M] = W0
     elif warm_iter > 0 and taps > 0:
         # (taps == 0 is plain AuxIVA — cold start is fine and keeps the
         # exact degeneration; the instability is tap-induced)

@@ -78,13 +78,15 @@ def tiss(
     P = np.zeros((F, M, M + MK), dtype=X.dtype)
     P[:, :, :M] = np.eye(M, dtype=X.dtype)
     if W0 is not None:
+        # dispatch on the ROW count first: at taps=0 the full-augmented
+        # and square widths coincide (api._augmented_w0 has the same rule)
         W0 = np.asarray(W0)
-        if W0.shape[2] == M + MK:
-            P = W0.copy()
-        elif W0.shape[1] == M:
-            P[:, :, :M] = W0
-        else:
+        if W0.shape[1] != M:
             P[:, :N, :M] = W0
+        elif W0.shape[2] == M + MK:
+            P = W0.copy()
+        else:
+            P[:, :, :M] = W0
 
     Xt = np.concatenate([X, delayed_taps(X, taps, delay)], axis=2) if taps else X
     Y = np.einsum("fnj,tfj->tfn", P, Xt)

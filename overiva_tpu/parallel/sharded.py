@@ -210,8 +210,7 @@ def _tiss_one(
     keeps the family's single-psum comm pattern (the per-frame power)."""
     T, Fl, M = X.shape
     Xt = _tiss.augment_taps(X, taps, delay)
-    Pm = jnp.zeros((Fl, M, Xt.shape[2]), X.dtype)
-    Pm = Pm.at[:, :, :M].set(jnp.eye(M, dtype=X.dtype))
+    Pm = _tiss.augmented_eye(Xt, M)
     # constant init must carry the same varying-axes type as the loop body
     Pm = jax.lax.pcast(Pm, (AXIS_MIX, AXIS_BINS), to="varying")
     Y = _core.demix(Xt, Pm)
@@ -448,8 +447,7 @@ def _tip_one(
     local bin slice — single-psum family like _tiss_one."""
     T, Fl, M = X.shape
     Xt = _tiss.augment_taps(X, taps, delay)
-    Pm = jnp.zeros((Fl, M, Xt.shape[2]), X.dtype)
-    Pm = Pm.at[:, :, :M].set(jnp.eye(M, dtype=X.dtype))
+    Pm = _tiss.augmented_eye(Xt, M)
     Pm = jax.lax.pcast(Pm, (AXIS_MIX, AXIS_BINS), to="varying")
     if warm_iter > 0 and taps > 0:
         Y = _core.demix(Xt, Pm)
@@ -543,8 +541,7 @@ def _ilrma_t_one(X, B0, H0, bin_mask, taps, delay, n_iter, n_freq_total,
     bin-local; NMF activation + renorm psums as in _ilrma_one)."""
     T, Fl, M = X.shape
     Xt = _tiss.augment_taps(X, taps, delay)
-    Pm = jnp.zeros((Fl, M, Xt.shape[2]), X.dtype)
-    Pm = Pm.at[:, :, :M].set(jnp.eye(M, dtype=X.dtype))
+    Pm = _tiss.augmented_eye(Xt, M)
     Pm = jax.lax.pcast(Pm, (AXIS_MIX, AXIS_BINS), to="varying")
     Y = _core.demix(Xt, Pm)
 

@@ -75,6 +75,17 @@ def test_checkpoint_resume_bit_identical(tmp_path):
     np.testing.assert_array_equal(sep.process(blk), sep2.process(blk))
 
 
+def test_taps0_delay0_constructs():
+    """taps=0 permits delay=0 (no history needed); this crashed with a
+    negative hist dimension before the max(., 0) guard."""
+    s = OnlineTISS(33, 2, taps=0, delay=0)
+    rng = np.random.default_rng(1)
+    blk = (
+        rng.standard_normal((8, 33, 2)) + 1j * rng.standard_normal((8, 33, 2))
+    ).astype(np.complex64)
+    assert np.isfinite(s.process(blk)).all()
+
+
 def test_validation():
     with pytest.raises(ValueError):
         OnlineTISS(65, 2, taps=2, delay=0)

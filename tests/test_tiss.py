@@ -134,6 +134,20 @@ def test_w0_roundtrip(mixture23):
     np.testing.assert_allclose(Ysq, Yref, rtol=1e-8, atol=1e-10)
 
 
+def test_w0_target_rows_at_taps0(mixture23):
+    """(F, N, M) target-rows W0 with taps=0: the full-augmented and square
+    widths coincide there, and a width-first dispatch misrouted the rows
+    into the full branch (crash). Row-count-first dispatch fixes it."""
+    X = mixture23
+    W0 = oracle.overiva_iss(
+        X, n_src=2, n_iter=3, proj_back=False, return_filters=True
+    )[1][:, :2, :]  # (F, 2, 3) target rows
+    Yo = oracle.tiss(X, n_src=2, taps=0, n_iter=2, W0=W0)
+    Yj = api.tiss(X, n_src=2, taps=0, n_iter=2, W0=W0, dtype=np.complex128)
+    np.testing.assert_allclose(Yj, Yo, rtol=1e-8, atol=1e-10)
+    assert np.isfinite(Yj).all()
+
+
 def test_validation():
     X = np.zeros((8, 5, 2), np.complex64)
     with pytest.raises(ValueError):
