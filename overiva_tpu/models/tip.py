@@ -65,21 +65,35 @@ def _tip_epoch(
         PV = jnp.concatenate([PV_top, V[:, M:, :]], axis=1)
         rhs = jnp.zeros((F, MJ, 1), Xt.dtype).at[:, k, 0].set(1.0)
         w = gauss_solve(PV, rhs)[:, :, 0]  # (F, MJ)
-        # knife-edge guards (docs/DESIGN.md §4b, F-major twins of the IP
-        # family's): exact pow-2 clamp keeps the f32 quadratic form from
-        # overflowing on near-singular bins, and the guarded normalizer
-        # keeps the PREVIOUS row where the form has no significant bits —
-        # without these, 6/20 hard-room M=8 instances collapsed to zero
-        # outputs at 20 polish epochs (healthy bins are bit-unchanged)
+        # knife-edge guards (docs/DESIGN.md §4b): exact pow-2 clamp bounds
+        # the solve output on near-singular bins, and the normalizer is
+        # computed FROM THE DATA, not from V:
+        #   w^H V w = (1/T) sum_t phi_t |w^H x_tilde|^2
+        # — a sum of NON-NEGATIVE terms with zero cancellation. The
+        # V-based quadratic form was tried first and is unusable at
+        # MJ=48: legitimately deep nulls cancel it to rounding noise, so
+        # a significant-bits gate froze healthy converged rows (a
+        # systematic −2.4 dB median SIR at M=8), while the ungated form
+        # amplified true dead bins ~1e19x and collapsed 6/20 instances
+        # at 20 polish epochs. The data form resolves deep nulls down to
+        # f32 underflow; only exactly-dead bins (denom == 0) keep the
+        # previous row.
         w = clamp_pow2(w)
-        t = jnp.real(jnp.conj(w)[:, :, None] * V * w[:, None, :])  # (F,MJ,MJ)
-        denom = jnp.sum(t, axis=(1, 2))
-        ref = jnp.sum(jnp.abs(t), axis=(1, 2))
-        eps = jnp.finfo(denom.dtype).eps
-        good = denom > 4.0 * eps * ref
+        yk = jnp.einsum("fa,tfa->tf", jnp.conj(w), Xt, precision=PRECISION)
+        denom = (
+            jnp.einsum(
+                "t,tf->f", phif[:, k], jnp.abs(yk) ** 2, precision=PRECISION
+            )
+            / T
+        )
+        good = denom > 0.0
         w = w / jnp.sqrt(
             jnp.where(good, denom, 1.0)
         ).astype(w.real.dtype)[:, None]
+        # re-clamp: an underflow-deep denominator could still push the
+        # normalized row past f32 range (exact pow-2, healthy bins
+        # untouched)
+        w = clamp_pow2(w)
         row = jnp.where(good[:, None], jnp.conj(w), P[:, k, :])
         P = jnp.concatenate(
             [P[:, :k], row[:, None, :], P[:, k + 1 :]], axis=1
