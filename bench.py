@@ -128,198 +128,211 @@ def main():
     value = N_ITER / t30
 
     # Every row below is an EXTRA: a failure must not kill the headline
-    # JSON line the driver records. One guarded pass, with the failing
-    # stage named in extra["bench_error"] (rows after it are skipped).
-    _stage = [""]
+    # JSON line the driver records. Each row runs in its own guard so one
+    # failing row (e.g. a backend quirk) cannot skip the rows after it;
+    # failures are listed per-row in extra["bench_errors"]. A row whose
+    # inputs were built by an earlier failed row reports a NameError.
+    _errors = []
 
-    def _mark(name):
-        _stage[0] = name
+    class _row:
+        def __init__(self, name):
+            self.name = name
+
+        def __enter__(self):
+            return None
+
+        def __exit__(self, et, ev, tb):
+            if et is not None:
+                _errors.append(f"{self.name}: {et.__name__}: {ev}"[:160])
+            return True
 
     def _extra_rows():
-        _mark("overiva_marginal_it_s")
-        # marginal rate: cancel the fixed per-execution dispatch+sync cost
-        t230, W = timed(
-            lambda: overiva_iterations(X, W_hat, Cx, N, 230, "laplace"), repeats=2
-        )
-        check_finite(W)
-        extra["overiva_marginal_it_s"] = round(200 / (t230 - t30), 1)
+        with _row("overiva_marginal_it_s"):
+            # marginal rate: cancel the fixed per-execution dispatch+sync cost
+            t230, W = timed(
+                lambda: overiva_iterations(X, W_hat, Cx, N, 230, "laplace"), repeats=2
+            )
+            check_finite(W)
+            extra["overiva_marginal_it_s"] = round(200 / (t230 - t30), 1)
 
-        _mark("overiva_bf16_it_s")
-        # ---- bf16 MXU weighted-covariance mode (wcov="bf16"; quality within
-        # 0.01 dB of f32 on the integration mixtures — tests/test_bf16.py) ----
-        t_bf, W = timed(
-            lambda: overiva_iterations(X, W_hat, Cx, N, N_ITER, "laplace", wcov="bf16")
-        )
-        check_finite(W)
-        extra["overiva_bf16_it_s"] = round(N_ITER / t_bf, 1)
+        with _row("overiva_bf16_it_s"):
+            # ---- bf16 MXU weighted-covariance mode (wcov="bf16"; quality within
+            # 0.01 dB of f32 on the integration mixtures — tests/test_bf16.py) ----
+            t_bf, W = timed(
+                lambda: overiva_iterations(X, W_hat, Cx, N, N_ITER, "laplace", wcov="bf16")
+            )
+            check_finite(W)
+            extra["overiva_bf16_it_s"] = round(N_ITER / t_bf, 1)
 
-        _mark("overiva_f32x3_it_s")
-        # ---- f32x3 middle tier (3-pass bf16 MXU decomposition, ~1e-5 relative
-        # operand error vs bf16's ~4e-3 — docs/DESIGN.md §2c round 3) ----
-        t_x3, W = timed(
-            lambda: overiva_iterations(X, W_hat, Cx, N, N_ITER, "laplace", wcov="f32x3")
-        )
-        check_finite(W)
-        extra["overiva_f32x3_it_s"] = round(N_ITER / t_x3, 1)
+        with _row("overiva_f32x3_it_s"):
+            # ---- f32x3 middle tier (3-pass bf16 MXU decomposition, ~1e-5 relative
+            # operand error vs bf16's ~4e-3 — docs/DESIGN.md §2c round 3) ----
+            t_x3, W = timed(
+                lambda: overiva_iterations(X, W_hat, Cx, N, N_ITER, "laplace", wcov="f32x3")
+            )
+            check_finite(W)
+            extra["overiva_f32x3_it_s"] = round(N_ITER / t_x3, 1)
 
-        _mark("overiva_T512")
-        # ---- realistic frame count T=512 ----
-        re5, im5 = _make_mix(rng, 512, F, M)
-        X5 = jax.jit(lambda r, i: r + 1j * i)(re5, im5)
-        W05 = jax.jit(lambda x: x[:0])(X5)
-        W_hat5, Cx5 = _prepare(X5, W05, N, False, True, False)
-        t5, W = timed(lambda: overiva_iterations(X5, W_hat5, Cx5, N, N_ITER, "laplace"))
-        check_finite(W)
-        extra["overiva_T512_it_s"] = round(N_ITER / t5, 1)
-        t5b, W = timed(
-            lambda: overiva_iterations(X5, W_hat5, Cx5, N, N_ITER, "laplace", wcov="bf16")
-        )
-        check_finite(W)
-        extra["overiva_T512_bf16_it_s"] = round(N_ITER / t5b, 1)
-        t5x, W = timed(
-            lambda: overiva_iterations(X5, W_hat5, Cx5, N, N_ITER, "laplace", wcov="f32x3")
-        )
-        check_finite(W)
-        extra["overiva_T512_f32x3_it_s"] = round(N_ITER / t5x, 1)
+        with _row("overiva_T512"):
+            # ---- realistic frame count T=512 ----
+            re5, im5 = _make_mix(rng, 512, F, M)
+            X5 = jax.jit(lambda r, i: r + 1j * i)(re5, im5)
+            W05 = jax.jit(lambda x: x[:0])(X5)
+            W_hat5, Cx5 = _prepare(X5, W05, N, False, True, False)
+            t5, W = timed(lambda: overiva_iterations(X5, W_hat5, Cx5, N, N_ITER, "laplace"))
+            check_finite(W)
+            extra["overiva_T512_it_s"] = round(N_ITER / t5, 1)
+            t5b, W = timed(
+                lambda: overiva_iterations(X5, W_hat5, Cx5, N, N_ITER, "laplace", wcov="bf16")
+            )
+            check_finite(W)
+            extra["overiva_T512_bf16_it_s"] = round(N_ITER / t5b, 1)
+            t5x, W = timed(
+                lambda: overiva_iterations(X5, W_hat5, Cx5, N, N_ITER, "laplace", wcov="f32x3")
+            )
+            check_finite(W)
+            extra["overiva_T512_f32x3_it_s"] = round(N_ITER / t5x, 1)
 
-        _mark("overiva_batch16")
-        # ---- batched serving throughput: 16 mixtures per fused program.
-        # The sweep/serving fan-out path (api.overiva_batch): dispatch overhead
-        # amortizes across the batch, so the per-mixture rate approaches the
-        # marginal rate. ----
-        B = 16
-        reb = np.stack([_make_mix(rng, 128, F, M)[0] for _ in range(B)])
-        imb = np.stack([_make_mix(rng, 128, F, M)[1] for _ in range(B)])
-        Xb = jax.jit(lambda r, i: r + 1j * i)(reb, imb)
-        prep_b = jax.jit(
-            lambda xb: jax.vmap(lambda x: _prepare(x, x[:0], N, False, True, False))(xb)
-        )
-        W_hatb, Cxb = prep_b(Xb)
-        run_b = jax.jit(
-            lambda xb, wb, cb: jax.vmap(
-                lambda x, w, c: overiva_iterations(x, w, c, N, N_ITER, "laplace")
-            )(xb, wb, cb)
-        )
-        t_b, Wb = timed(lambda: run_b(Xb, W_hatb, Cxb))
-        check_finite(Wb)
-        extra["overiva_batch16_it_s_per_mix"] = round(B * N_ITER / t_b, 1)
+        with _row("overiva_batch16"):
+            # ---- batched serving throughput: 16 mixtures per fused program.
+            # The sweep/serving fan-out path (api.overiva_batch): dispatch overhead
+            # amortizes across the batch, so the per-mixture rate approaches the
+            # marginal rate. ----
+            B = 16
+            reb = np.stack([_make_mix(rng, 128, F, M)[0] for _ in range(B)])
+            imb = np.stack([_make_mix(rng, 128, F, M)[1] for _ in range(B)])
+            Xb = jax.jit(lambda r, i: r + 1j * i)(reb, imb)
+            prep_b = jax.jit(
+                lambda xb: jax.vmap(lambda x: _prepare(x, x[:0], N, False, True, False))(xb)
+            )
+            W_hatb, Cxb = prep_b(Xb)
+            run_b = jax.jit(
+                lambda xb, wb, cb: jax.vmap(
+                    lambda x, w, c: overiva_iterations(x, w, c, N, N_ITER, "laplace")
+                )(xb, wb, cb)
+            )
+            t_b, Wb = timed(lambda: run_b(Xb, W_hatb, Cxb))
+            check_finite(Wb)
+            extra["overiva_batch16_it_s_per_mix"] = round(B * N_ITER / t_b, 1)
 
-        _mark("wpe_T512")
-        # ---- WPE dereverb front (extension, ops/wpe.py): full preprocessing
-        # pass at the realistic horizon — T=512, M=8, 5 taps, 2 iterations ----
-        from overiva_tpu.ops.wpe import wpe as _wpe_op
+        with _row("wpe_T512"):
+            # ---- WPE dereverb front (extension, ops/wpe.py): full preprocessing
+            # pass at the realistic horizon — T=512, M=8, 5 taps, 2 iterations ----
+            from overiva_tpu.ops.wpe import wpe as _wpe_op
 
-        wpe_jit = jax.jit(
-            lambda x: _wpe_op(x, taps=5, delay=2, n_iter=2, diag_load=1e-5)
-        )
-        t_wpe, Yw = timed(lambda: wpe_jit(X5))
-        check_finite(Yw)
-        extra["wpe_T512_taps5_ms"] = round(t_wpe * 1e3, 1)
+            wpe_jit = jax.jit(
+                lambda x: _wpe_op(x, taps=5, delay=2, n_iter=2, diag_load=1e-5)
+            )
+            t_wpe, Yw = timed(lambda: wpe_jit(X5))
+            check_finite(Yw)
+            extra["wpe_T512_taps5_ms"] = round(t_wpe * 1e3, 1)
 
-        _mark("tiss_T512")
-        # ---- T-ISS joint dereverb + separation (extension, models/tiss.py):
-        # M=8 -> N=3, 5 taps at the realistic horizon T=512 ----
-        from overiva_tpu.models.tiss import augment_taps, tiss_iterations
+        with _row("tiss_T512"):
+            # ---- T-ISS joint dereverb + separation (extension, models/tiss.py):
+            # M=8 -> N=3, 5 taps at the realistic horizon T=512 ----
+            from overiva_tpu.models.tiss import augment_taps, tiss_iterations
 
-        aug_jit = jax.jit(lambda x: augment_taps(x, 5, 2))
-        Xt5 = aug_jit(X5)
-        Pt0 = jax.jit(
-            lambda xt: jnp.zeros((F, M, xt.shape[2]), xt.dtype)
-            .at[:, :, :M].set(jnp.eye(M, dtype=xt.dtype))
-        )(Xt5)
-        t_tiss, (Pt, _) = timed(
-            lambda: tiss_iterations(Xt5, Pt0, N_ITER, "laplace", M, n_src=N)
-        )
-        check_finite(Pt)
-        extra["tiss_T512_taps5_it_s"] = round(N_ITER / t_tiss, 1)
+            aug_jit = jax.jit(lambda x: augment_taps(x, 5, 2))
+            Xt5 = aug_jit(X5)
+            Pt0 = jax.jit(
+                lambda xt: jnp.zeros((F, M, xt.shape[2]), xt.dtype)
+                .at[:, :, :M].set(jnp.eye(M, dtype=xt.dtype))
+            )(Xt5)
+            t_tiss, (Pt, _) = timed(
+                lambda: tiss_iterations(Xt5, Pt0, N_ITER, "laplace", M, n_src=N)
+            )
+            check_finite(Pt)
+            extra["tiss_T512_taps5_it_s"] = round(N_ITER / t_tiss, 1)
 
-        _mark("tip_T512")
-        # ---- T-IP joint (exact MJ-dim IP rows, models/tip.py): the
-        # registry default program — 10 warm T-ISS + 10 T-IP epochs ----
-        from overiva_tpu.models.tip import tip_iterations
+        with _row("tip_T512"):
+            # ---- T-IP joint (exact MJ-dim IP rows, models/tip.py): the
+            # registry default program — 10 warm T-ISS + 10 T-IP epochs ----
+            from overiva_tpu.models.tip import tip_iterations
 
-        def tip_prog():
-            P1, _ = tiss_iterations(Xt5, Pt0, 10, "laplace", M, n_src=N)
-            return tip_iterations(Xt5, P1, 10, "laplace", M, n_src=N)
+            def tip_prog(xt, p0):
+                # xt/p0 MUST be jit arguments, not closure captures: a
+                # closed-over complex device array becomes an MLIR constant,
+                # and materializing it forces a complex host fetch — which
+                # the axon tunnel rejects with UNIMPLEMENTED (same quirk as
+                # the sweep-harness _to_host path, ROADMAP round 3).
+                P1, _ = tiss_iterations(xt, p0, 10, "laplace", M, n_src=N)
+                return tip_iterations(xt, P1, 10, "laplace", M, n_src=N)
 
-        tip_jit = jax.jit(tip_prog)
-        t_tip, Pt2 = timed(tip_jit)
-        check_finite(Pt2)
-        extra["tip_T512_taps5_ms"] = round(t_tip * 1e3, 1)
+            tip_jit = jax.jit(tip_prog)
+            t_tip, Pt2 = timed(lambda: tip_jit(Xt5, Pt0))
+            check_finite(Pt2)
+            extra["tip_T512_taps5_ms"] = round(t_tip * 1e3, 1)
 
-        _mark("overiva_ip2")
-        # ---- OverIVA-IP2 (pairwise updates: ~0.55 ms/iter but 3-5x fewer
-        # iterations to converge than IP1 — tests/test_ip2.py) ----
-        from overiva_tpu.models.overiva_ip2 import overiva_ip2_iterations
+        with _row("overiva_ip2"):
+            # ---- OverIVA-IP2 (pairwise updates: ~0.55 ms/iter but 3-5x fewer
+            # iterations to converge than IP1 — tests/test_ip2.py) ----
+            from overiva_tpu.models.overiva_ip2 import overiva_ip2_iterations
 
-        t_ip2, W = timed(
-            lambda: overiva_ip2_iterations(X, W_hat, Cx, N, N_ITER, "laplace")
-        )
-        check_finite(W)
-        extra["overiva_ip2_it_s"] = round(N_ITER / t_ip2, 1)
+            t_ip2, W = timed(
+                lambda: overiva_ip2_iterations(X, W_hat, Cx, N, N_ITER, "laplace")
+            )
+            check_finite(W)
+            extra["overiva_ip2_it_s"] = round(N_ITER / t_ip2, 1)
 
-        _mark("auxiva_iss")
-        # ---- AuxIVA-ISS speed tier (determined M=N=8, T=128) ----
-        Weye = jax.jit(
-            lambda x: jnp.broadcast_to(jnp.eye(M, dtype=x.dtype), (F, M, M))
-        )(X)
-        t_iss, (Wi, _) = timed(
-            lambda: auxiva_iss_iterations(X, Weye, N_ITER, "laplace")
-        )
-        check_finite(Wi)
-        extra["auxiva_iss_it_s"] = round(N_ITER / t_iss, 1)
+        with _row("auxiva_iss"):
+            # ---- AuxIVA-ISS speed tier (determined M=N=8, T=128) ----
+            Weye = jax.jit(
+                lambda x: jnp.broadcast_to(jnp.eye(M, dtype=x.dtype), (F, M, M))
+            )(X)
+            t_iss, (Wi, _) = timed(
+                lambda: auxiva_iss_iterations(X, Weye, N_ITER, "laplace")
+            )
+            check_finite(Wi)
+            extra["auxiva_iss_it_s"] = round(N_ITER / t_iss, 1)
 
-        _mark("overiva_iss")
-        # ---- OverIVA-ISS (M=8 -> N=3, solve-free overdetermined) ----
-        t_oiss, (Wo, _) = timed(
-            lambda: auxiva_iss_iterations(X, Weye, N_ITER, "laplace", n_src=N)
-        )
-        check_finite(Wo)
-        extra["overiva_iss_it_s"] = round(N_ITER / t_oiss, 1)
+        with _row("overiva_iss"):
+            # ---- OverIVA-ISS (M=8 -> N=3, solve-free overdetermined) ----
+            t_oiss, (Wo, _) = timed(
+                lambda: auxiva_iss_iterations(X, Weye, N_ITER, "laplace", n_src=N)
+            )
+            check_finite(Wo)
+            extra["overiva_iss_it_s"] = round(N_ITER / t_oiss, 1)
 
-        _mark("pca_iss")
-        # ---- PCA (M=8 -> N=3) + ISS, the fast overdetermined path ----
-        from overiva_tpu.models import auxiva_pca as _pca_mod
+        with _row("pca_iss"):
+            # ---- PCA (M=8 -> N=3) + ISS, the fast overdetermined path ----
+            from overiva_tpu.models import auxiva_pca as _pca_mod
 
-        pca_jit = jax.jit(lambda x: _pca_mod.pca(x, N, False), static_argnums=())
-        Xr = pca_jit(X)
-        WeyeN = jax.jit(
-            lambda x: jnp.broadcast_to(jnp.eye(N, dtype=x.dtype), (F, N, N))
-        )(Xr)
-        t_pca, (Wr, _) = timed(
-            lambda: auxiva_iss_iterations(pca_jit(X), WeyeN, N_ITER, "laplace")
-        )
-        check_finite(Wr)
-        extra["pca_iss_it_s"] = round(N_ITER / t_pca, 1)
+            pca_jit = jax.jit(lambda x: _pca_mod.pca(x, N, False), static_argnums=())
+            Xr = pca_jit(X)
+            WeyeN = jax.jit(
+                lambda x: jnp.broadcast_to(jnp.eye(N, dtype=x.dtype), (F, N, N))
+            )(Xr)
+            t_pca, (Wr, _) = timed(
+                lambda: auxiva_iss_iterations(pca_jit(X), WeyeN, N_ITER, "laplace")
+            )
+            check_finite(Wr)
+            extra["pca_iss_it_s"] = round(N_ITER / t_pca, 1)
 
-        _mark("fastmnmf2")
-        # ---- FastMNMF2 (full-rank spatial model, M=8 slots, L=2) ----
-        from overiva_tpu.models.fastmnmf2 import (
-            fastmnmf2_iterations, unit_power, whiten_q,
-        )
+        with _row("fastmnmf2"):
+            # ---- FastMNMF2 (full-rank spatial model, M=8 slots, L=2) ----
+            from overiva_tpu.models.fastmnmf2 import (
+                fastmnmf2_iterations, unit_power, whiten_q,
+            )
 
-        Xu, _ = jax.jit(unit_power)(X)
-        Qw = jax.jit(whiten_q)(Xu)
-        rngf = np.random.default_rng(1)
-        g0 = np.full((M, M), 1e-2, np.float32)
-        g0[np.arange(M), np.arange(M)] = 1.0
-        g0 /= g0.sum(axis=1, keepdims=True)
-        Wn = (rngf.random((M, F, 2)) + 0.1).astype(np.float32)
-        Hn = (rngf.random((M, 2, 128)) + 0.1).astype(np.float32)
-        gd, Wd, Hd = jnp.asarray(g0), jnp.asarray(Wn), jnp.asarray(Hn)
-        t_fm, (Qf, _, _, _) = timed(
-            lambda: fastmnmf2_iterations(Xu, Qw, gd, Wd, Hd, N_ITER)
-        )
-        check_finite(Qf)
-        extra["fastmnmf2_it_s"] = round(N_ITER / t_fm, 1)
+            Xu, _ = jax.jit(unit_power)(X)
+            Qw = jax.jit(whiten_q)(Xu)
+            rngf = np.random.default_rng(1)
+            g0 = np.full((M, M), 1e-2, np.float32)
+            g0[np.arange(M), np.arange(M)] = 1.0
+            g0 /= g0.sum(axis=1, keepdims=True)
+            Wn = (rngf.random((M, F, 2)) + 0.1).astype(np.float32)
+            Hn = (rngf.random((M, 2, 128)) + 0.1).astype(np.float32)
+            gd, Wd, Hd = jnp.asarray(g0), jnp.asarray(Wn), jnp.asarray(Hn)
+            t_fm, (Qf, _, _, _) = timed(
+                lambda: fastmnmf2_iterations(Xu, Qw, gd, Wd, Hd, N_ITER)
+            )
+            check_finite(Qf)
+            extra["fastmnmf2_it_s"] = round(N_ITER / t_fm, 1)
 
 
-    try:
-        _extra_rows()
-    except Exception as e:
-        extra["bench_error"] = (
-            f"{_stage[0]}: {type(e).__name__}: {e}"[:200]
-        )
+    _extra_rows()
+    if _errors:
+        extra["bench_errors"] = _errors
 
     print(
         json.dumps(
