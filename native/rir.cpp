@@ -71,6 +71,29 @@ int64_t shoebox_rir(const double* room, const double* src, const double* mic,
     }
   }
 
+  // rho^order table (pow per image is ~100 cycles; order <= max_order)
+  std::vector<double> rho_pow(max_order + 1);
+  rho_pow[0] = 1.0;
+  for (int o = 1; o <= max_order; ++o) rho_pow[o] = rho_pow[o - 1] * rho;
+
+  // Tap trig hoisting. With integer tap offset k = t - center and
+  // fractional delay frac in [0, 1), u = k - frac and
+  //   sin(pi*u)          = -(-1)^k * sin(pi*frac)
+  //   cos(2*pi*u/L)      = cos(2*pi*k/L)*cos(2*pi*frac/L)
+  //                        + sin(2*pi*k/L)*sin(2*pi*frac/L)
+  // so the 81-tap inner loop needs NO trig: one sin + one sincos per
+  // image against per-k tables (exact identities, not approximations).
+  std::vector<double> neg_par(frac_len), kk(frac_len), ca(frac_len),
+      sa(frac_len);
+  for (int t = 0; t < frac_len; ++t) {
+    const int k = t - center;
+    neg_par[t] = (k & 1) ? 1.0 : -1.0;  // -(-1)^k
+    kk[t] = static_cast<double>(k);
+    const double a = 2.0 * kPi * k / frac_len;
+    ca[t] = std::cos(a);
+    sa[t] = std::sin(a);
+  }
+
   int64_t max_used = 0;
   const size_t nx = pos[0].size(), ny = pos[1].size(), nz = pos[2].size();
   for (size_t i = 0; i < nx; ++i) {
@@ -88,7 +111,7 @@ int64_t shoebox_rir(const double* room, const double* src, const double* mic,
         const double dz = pos[2][k] - mic[2];
         double dist = std::sqrt(dxy2 + dz * dz);
         if (dist < 1e-3) dist = 1e-3;
-        const double amp = std::pow(rho, order) / (4.0 * kPi * dist);
+        const double amp = rho_pow[order] / (4.0 * kPi * dist);
 
         const double delay = dist / c * fs + center;
         const int64_t base = static_cast<int64_t>(std::floor(delay));
@@ -97,11 +120,21 @@ int64_t shoebox_rir(const double* room, const double* src, const double* mic,
         const int64_t start = base - center;
         if (start < 0) return -1;
         if (start + frac_len + extra > rir_capacity) return -2;
-        // windowed-sinc injection: taps at n - center - frac
-        for (int t = 0; t < frac_len; ++t) {
-          const double u = (t - center) - frac;
-          const double win = 0.5 * (1.0 + std::cos(2.0 * kPi * u / frac_len));
-          rir_out[start + t] += amp * sinc(u) * win;
+        // windowed-sinc injection at u = (t - center) - frac, via the
+        // hoisted identities above (branchless, auto-vectorizable)
+        if (frac == 0.0) {
+          // sinc lands exactly on integer taps: only u = 0 contributes
+          rir_out[base] += amp;
+        } else {
+          const double sf = std::sin(kPi * frac);
+          const double b = 2.0 * kPi * frac / frac_len;
+          const double cb = std::cos(b), sb = std::sin(b);
+          const double g = amp * sf / kPi;  // amp * sin(pi*frac)/pi
+          double* out = rir_out + start;
+          for (int t = 0; t < frac_len; ++t) {
+            const double win = 0.5 + 0.5 * (ca[t] * cb + sa[t] * sb);
+            out[t] += neg_par[t] * g / (kk[t] - frac) * win;
+          }
         }
         const int64_t used = start + frac_len + extra;
         if (used > max_used) max_used = used;
