@@ -136,6 +136,11 @@ class _InstanceEval:
         self.refs = premix[:, 0, : mix.shape[0]]
         self.ev = BssEvalReferences(self.refs) if n_src > 1 else None
         self.pair_evs = {}
+        # score_time runs on the harness's scoring thread pool; the pair
+        # cache is the only mutated state (evaluate() is read-only)
+        import threading
+
+        self._pair_lock = threading.Lock()
         if n_src > 1:
             self.sdr_mix, self.sir_mix, _, _ = self.ev.evaluate(
                 np.tile(mix[:, 0], (n_src, 1))
@@ -174,13 +179,14 @@ class _InstanceEval:
             if refs.shape[0] > 1
             else y.T[:1]
         )
-        if best not in self.pair_evs:
-            pair = (
-                np.stack([refs[best], refs.sum(0) - refs[best]])
-                if refs.shape[0] > 1
-                else refs[:1]
-            )
-            self.pair_evs[best] = BssEvalReferences(pair)
+        with self._pair_lock:
+            if best not in self.pair_evs:
+                pair = (
+                    np.stack([refs[best], refs.sum(0) - refs[best]])
+                    if refs.shape[0] > 1
+                    else refs[:1]
+                )
+                self.pair_evs[best] = BssEvalReferences(pair)
         sdr, sir, _, _ = self.pair_evs[best].evaluate(
             est, compute_permutation=False
         )
@@ -282,32 +288,51 @@ def batch_instances(cfg, group, simulated):
     n_samp = simulated[0][0].shape[0]
 
     results = [dict() for _ in range(B)]
-    for name, params in cfg["algos"].items():
-        if not applicable(name, n_src, n_mics):
-            continue
-        spec = get_algorithm(name)
-        try:
-            t0 = time.perf_counter()
-            Yb = spec.run_batch(
-                Xd, n_src=n_src, device=True,
-                **_batch_params(spec, params, B),
-            )
-            device_sync(Yb)  # honest runtime: force execution, not dispatch
-            runtime = (time.perf_counter() - t0) / B
-        except Exception as e:  # a failed dispatch marks the whole group
-            _reraise_if_transient(e)
-            for b in range(B):
-                results[b][name] = {"error": f"{type(e).__name__}: {e}"}
-            continue
-        for b in range(B):  # score per element: one bad lane must not
-            try:            # void the other B-1 results
-                # device-side synthesis from the device slice; only the
-                # (n_samples, n_out) float signal crosses to host
-                y = api.stft_synthesis(Yb[b], nfft)[nfft - hop:][:n_samp]
-                if not np.all(np.isfinite(y)):
-                    raise FloatingPointError("non-finite separation output")
-                results[b][name] = evs[b].score_time(y, runtime)
-                results[b][name]["batched"] = B
+    # Host bss_eval scoring runs on a thread pool so it overlaps the NEXT
+    # algorithm's device execution (the TPU is idle during scoring
+    # otherwise; NumPy FFT/BLAS release the GIL). Device work — run_batch
+    # and the fused batch synthesis — stays on this thread: the axon
+    # tunnel is a serial resource and scoring must never race it.
+    from concurrent.futures import ThreadPoolExecutor
+
+    futures = {}
+    with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as pool:
+        for name, params in cfg["algos"].items():
+            if not applicable(name, n_src, n_mics):
+                continue
+            spec = get_algorithm(name)
+            try:
+                t0 = time.perf_counter()
+                Yb = spec.run_batch(
+                    Xd, n_src=n_src, device=True,
+                    **_batch_params(spec, params, B),
+                )
+                device_sync(Yb)  # honest runtime: execution, not dispatch
+                runtime = (time.perf_counter() - t0) / B
+                # ONE fused iSTFT + ONE host transfer for the whole batch
+                # (per-lane synthesis paid a dispatch + transfer each)
+                yb = api.stft_synthesis_batch(Yb, nfft)
+                yb = yb[:, nfft - hop:][:, :n_samp]
+            except Exception as e:  # a failed dispatch marks the whole group
+                _reraise_if_transient(e)
+                for b in range(B):
+                    results[b][name] = {"error": f"{type(e).__name__}: {e}"}
+                continue
+            for b in range(B):  # score per element: one bad lane must not
+                if not np.all(np.isfinite(yb[b])):  # void the other B-1
+                    results[b][name] = {
+                        "error": "FloatingPointError: "
+                        "non-finite separation output"
+                    }
+                    continue
+                futures[(b, name)] = pool.submit(
+                    evs[b].score_time, yb[b], runtime
+                )
+        for (b, name), fut in futures.items():
+            try:
+                res = fut.result()
+                res["batched"] = B
+                results[b][name] = res
             except Exception as e:
                 _reraise_if_transient(e)
                 results[b][name] = {"error": f"{type(e).__name__}: {e}"}

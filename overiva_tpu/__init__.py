@@ -77,5 +77,6 @@ _API = {
     "stft_analysis_batch": "api",
     "to_device": "api",
     "stft_synthesis": "api",
+    "stft_synthesis_batch": "api",
     "projection_back": "api",
 }

@@ -51,6 +51,7 @@ __all__ = [
     "stft_analysis",
     "stft_analysis_batch",
     "stft_synthesis",
+    "stft_synthesis_batch",
     "to_device",
     "overiva_batch",
     "separate",
@@ -1293,11 +1294,36 @@ def stft_synthesis(X, nfft, hop=None, win_s=None, dtype=None):
     """Complex STFT -> time signal via weighted overlap-add.
 
     Accepts host arrays or device arrays (e.g. a ``device=True`` separation
-    result — no re-upload)."""
+    result — no re-upload). ``win_s`` overrides the biorthogonal dual
+    synthesis window (default: computed for perfect reconstruction)."""
     hop = hop or nfft // 2
     cdtype = np.dtype(dtype or DEFAULT_DTYPE)
     Xd = _to_device(_ensure(X), cdtype)
-    y = _stft_synthesis_jit(Xd, int(nfft), int(hop))
+    if win_s is None:
+        y = _stft_synthesis_jit(Xd, int(nfft), int(hop))
+    else:
+        w = jnp.asarray(np.asarray(win_s), real_dtype_of(cdtype))
+        y = _stft_synthesis_win_jit(Xd, w, int(nfft), int(hop))
+    return np.asarray(y)
+
+
+def stft_synthesis_batch(X, nfft, hop=None, win_s=None, dtype=None):
+    """Batch of STFTs (B, T, nfft//2+1, N) -> (B, n_samples, N).
+
+    One fused device overlap-add and ONE host transfer for the whole
+    batch — the sweep harness's output path (per-lane :func:`stft_synthesis`
+    pays a dispatch + tunnel transfer each). Accepts host or device arrays.
+    """
+    hop = hop or nfft // 2
+    cdtype = np.dtype(dtype or DEFAULT_DTYPE)
+    Xd = _to_device(_ensure(X), cdtype)
+    if win_s is None:
+        w = _stft.synthesis_window(_stft.hann(int(nfft)), int(hop))
+    else:
+        w = np.asarray(win_s)
+    y = _stft_synthesis_batch_jit(
+        Xd, jnp.asarray(w, real_dtype_of(cdtype)), int(nfft), int(hop)
+    )
     return np.asarray(y)
 
 
@@ -1316,6 +1342,16 @@ def _stft_analysis_batch_jit(x, nfft, hop):
 @partial(jax.jit, static_argnames=("nfft", "hop"))
 def _stft_synthesis_jit(X, nfft, hop):
     return _stft.synthesis(X, nfft, hop)
+
+
+@partial(jax.jit, static_argnames=("nfft", "hop"))
+def _stft_synthesis_win_jit(X, win_s, nfft, hop):
+    return _stft.synthesis(X, nfft, hop, win_s)
+
+
+@partial(jax.jit, static_argnames=("nfft", "hop"))
+def _stft_synthesis_batch_jit(X, win_s, nfft, hop):
+    return jax.vmap(lambda Xb: _stft.synthesis(Xb, nfft, hop, win_s))(X)
 
 
 def ilrma(

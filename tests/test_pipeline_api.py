@@ -125,3 +125,42 @@ def test_streaming_state_checkpoint_roundtrip(tmp_path, rng):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         c.restore(tmp_path / "stream.npz")
+
+
+def test_stft_synthesis_batch_matches_per_lane(rng):
+    """One fused batch iSTFT (the sweep harness's output path) must equal
+    per-lane stft_synthesis exactly."""
+    nfft = 256
+    Xb = (
+        rng.standard_normal((4, 30, nfft // 2 + 1, 3))
+        + 1j * rng.standard_normal((4, 30, nfft // 2 + 1, 3))
+    ).astype(np.complex128)
+    yb = api.stft_synthesis_batch(Xb, nfft, dtype=np.complex128)
+    for b in range(Xb.shape[0]):
+        y = api.stft_synthesis(Xb[b], nfft, dtype=np.complex128)
+        np.testing.assert_allclose(yb[b], y, rtol=1e-12, atol=1e-12)
+
+
+def test_stft_synthesis_win_s_is_used(rng):
+    """win_s must actually be applied (it was silently dropped once): the
+    canonical dual window passed explicitly reproduces the default path,
+    and a different window changes the output."""
+    from overiva_tpu.ops.stft import hann, synthesis_window
+
+    nfft, hop = 256, 128
+    X = (
+        rng.standard_normal((20, nfft // 2 + 1, 2))
+        + 1j * rng.standard_normal((20, nfft // 2 + 1, 2))
+    ).astype(np.complex128)
+    dual = synthesis_window(hann(nfft), hop)
+    y_default = api.stft_synthesis(X, nfft, dtype=np.complex128)
+    y_dual = api.stft_synthesis(X, nfft, win_s=dual, dtype=np.complex128)
+    np.testing.assert_allclose(y_dual, y_default, rtol=1e-12, atol=1e-12)
+    y_other = api.stft_synthesis(
+        X, nfft, win_s=np.ones(nfft), dtype=np.complex128
+    )
+    assert not np.allclose(y_other, y_default)
+    yb_other = api.stft_synthesis_batch(
+        X[None], nfft, win_s=np.ones(nfft), dtype=np.complex128
+    )
+    np.testing.assert_allclose(yb_other[0], y_other, rtol=1e-12, atol=1e-12)
