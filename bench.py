@@ -21,11 +21,20 @@ v5e chip (the reference publishes no machine numbers — BASELINE.md).
 """
 
 import json
+import os
 import subprocess
 import sys
 import time
 
 import numpy as np
+
+# Wall budget for the EXTRA rows: the headline row always runs, but once
+# this much time has elapsed the remaining extras are skipped (noted in
+# extra["bench_truncated_at"]) so a degraded tunnel can never starve the
+# driver of the one JSON line it records. A full 15-row run measured
+# ~11.5 min on 2026-08-19 (tunnel waits dominate; 28 s user CPU).
+BUDGET_S = float(os.environ.get("OVERIVA_BENCH_BUDGET_S", "2400"))
+_T0 = time.perf_counter()
 
 
 def _wait_for_backend(max_wait_s: float = 1500.0) -> None:
@@ -134,11 +143,16 @@ def main():
     # inputs were built by an earlier failed row reports a NameError.
     _errors = []
 
+    class _Budget(Exception):
+        pass
+
     class _row:
         def __init__(self, name):
             self.name = name
 
         def __enter__(self):
+            if time.perf_counter() - _T0 > BUDGET_S:
+                raise _Budget(self.name)
             return None
 
         def __exit__(self, et, ev, tb):
@@ -330,7 +344,10 @@ def main():
             extra["fastmnmf2_it_s"] = round(N_ITER / t_fm, 1)
 
 
-    _extra_rows()
+    try:
+        _extra_rows()
+    except _Budget as b:
+        extra["bench_truncated_at"] = str(b)
     if _errors:
         extra["bench_errors"] = _errors
 
