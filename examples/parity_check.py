@@ -5,15 +5,20 @@ twice per algorithm — once through the JAX/TPU path (complex64), once through
 the float64 NumPy oracle — and reports the SDR/SIR deltas against the
 framework's 0.1 dB acceptance gate (BASELINE.md).
 
-    python examples/parity_check.py [--quick]
+    python examples/parity_check.py [--quick] [--seeds N]
 
-Known case: overiva-gauss can exceed the gate on some seeds from the
-INTRINSIC complex64 cost alone (decomposed on seed 7: 0.11 dB
-oracle-f64-vs-oracle-c64 floor + 0.07 dB chaotic c64-vs-c64 trajectory
-divergence — PARITY.md "Hardware parity margins"). The CI gates are the
-authoritative checks: 0.1 dB c64-vs-f64 on the pinned configs plus the
-0.02 dB same-precision gate that isolates implementation drift from the
-precision floor (tests/test_integration.py).
+``--seeds N`` runs every case over N seeds (seed 7 — the historical worst
+case — plus N-1 more) and reports the per-case worst delta; this is the
+round-4 hardware certification probe (VERDICT item 1).
+
+The gauss-model family is certified through the double-float tier
+(``acc="f32x2"``, models/overiva_df.py): plain complex64 has an INTRINSIC
+~0.11 dB floor on bad seeds (decomposed in PARITY.md — whole-epoch
+rounding chaos, not an implementation gap), while the df tier reproduces
+the f64 oracle to ~1e-6. The plain-c64 gauss rows are still printed for
+the record but marked "(c64 floor)" and excluded from the gate — their
+authoritative check is the same-precision 0.02 dB CI gate
+(tests/test_integration.py).
 """
 
 from __future__ import annotations
@@ -66,20 +71,35 @@ def run_pipeline(separate, mix, premix, nfft):
     return sdr[:1], sir[:1]
 
 
+def build_mixture(seed):
+    fs, n = 16000, 64000
+    room = ShoeBox([7.0, 6.0, 3.0], fs=fs, rt60=0.22, seed=seed)
+    for k, pos in enumerate(semi_circle_layout([3.5, 3.0, 1.5], np.pi / 2, 2.2, 2, rot=np.pi / 2)):
+        room.add_source(pos, speech_like(n, fs, seed=seed * 13 + k))
+    room.add_mic_array(circular_mic_array([3.5, 3.0, 1.5], 0.05, 5))
+    premix, noise = room.simulate(return_premix=True, snr=25.0)
+    mix = (premix.sum(axis=0) + noise).T[:n]
+    return mix, premix
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--quick", action="store_true", help="2 algorithms only")
     p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--seeds", type=int, default=1,
+                   help="number of seeds (seed 7 first, then 0,1,2,...)")
+    p.add_argument("--cases", type=str, default="",
+                   help="comma-separated substring filter on case names")
     args = p.parse_args(argv)
 
-    fs, n = 16000, 64000
-    room = ShoeBox([7.0, 6.0, 3.0], fs=fs, rt60=0.22, seed=args.seed)
-    for k, pos in enumerate(semi_circle_layout([3.5, 3.0, 1.5], np.pi / 2, 2.2, 2, rot=np.pi / 2)):
-        room.add_source(pos, speech_like(n, fs, seed=args.seed * 13 + k))
-    room.add_mic_array(circular_mic_array([3.5, 3.0, 1.5], 0.05, 5))
-    premix, noise = room.simulate(return_premix=True, snr=25.0)
-    mix = (premix.sum(axis=0) + noise).T[:n]
+    if args.seeds > 1:
+        seeds = [7] + [s for s in range(args.seeds * 2) if s != 7]
+        seeds = seeds[: args.seeds]
+    else:
+        seeds = [args.seed]
 
+    # (name, oracle_fn, jax_fn, gated) — ungated rows are informational
+    # (the plain-c64 gauss floor, PARITY.md)
     cases = [
         ("overiva M=5,N=2", lambda X: oracle.overiva(X, n_src=2, n_iter=15),
          lambda X: api.overiva(X, n_src=2, n_iter=15)),
@@ -88,8 +108,18 @@ def main(argv=None):
     ]
     if not args.quick:
         cases += [
-            ("overiva-gauss", lambda X: oracle.overiva(X, n_src=2, n_iter=15, model="gauss"),
-             lambda X: api.overiva(X, n_src=2, n_iter=15, model="gauss")),
+            ("overiva-gauss (c64 floor)",
+             lambda X: oracle.overiva(X, n_src=2, n_iter=15, model="gauss"),
+             lambda X: api.overiva(X, n_src=2, n_iter=15, model="gauss"),
+             False),
+            ("overiva-gauss df",
+             lambda X: oracle.overiva(X, n_src=2, n_iter=15, model="gauss"),
+             lambda X: api.overiva(X, n_src=2, n_iter=15, model="gauss",
+                                   acc="f32x2")),
+            ("auxiva-gauss df",
+             lambda X: oracle.auxiva(X[:, :, :2], n_iter=15, model="gauss"),
+             lambda X: api.auxiva(X[:, :, :2], n_iter=15, model="gauss",
+                                  acc="f32x2")),
             ("auxiva_pca", lambda X: oracle.auxiva_pca(X, n_src=2, n_iter=15),
              lambda X: api.auxiva_pca(X, n_src=2, n_iter=15)),
             ("auxiva_iss M=N=2", lambda X: oracle.auxiva_iss(X[:, :, :2], n_iter=15),
@@ -119,17 +149,34 @@ def main(argv=None):
                                    seed=5)),
         ]
 
-    print(f"{'algorithm':20s} {'|dSDR| dB':>10s} {'|dSIR| dB':>10s}  gate 0.1 dB")
+    if args.cases:
+        keys = [k.strip() for k in args.cases.split(",") if k.strip()]
+        cases = [c for c in cases if any(k in c[0] for k in keys)]
+
+    mixtures = {s: build_mixture(s) for s in seeds}
+
+    hdr = f"{'algorithm':26s} {'|dSDR| dB':>10s} {'|dSIR| dB':>10s}"
+    print(f"seeds: {seeds}")
+    print(f"{hdr}  gate 0.1 dB (worst over seeds)")
     worst = 0.0
-    for name, f_oracle, f_jax in cases:
-        sdr_o, sir_o = run_pipeline(f_oracle, mix, premix, 1024)
-        sdr_j, sir_j = run_pipeline(f_jax, mix, premix, 1024)
-        dsdr = float(np.max(np.abs(sdr_j - sdr_o)))
-        dsir = float(np.max(np.abs(sir_j - sir_o)))
-        worst = max(worst, dsdr, dsir)
-        flag = "OK" if max(dsdr, dsir) < 0.1 else "FAIL"
-        print(f"{name:20s} {dsdr:10.4f} {dsir:10.4f}  {flag}")
-    print(f"\nworst delta: {worst:.4f} dB -> {'PASS' if worst < 0.1 else 'FAIL'}")
+    for case in cases:
+        name, f_oracle, f_jax = case[0], case[1], case[2]
+        gated = case[3] if len(case) > 3 else True
+        dsdr = dsir = 0.0
+        for s in seeds:
+            mix, premix = mixtures[s]
+            sdr_o, sir_o = run_pipeline(f_oracle, mix, premix, 1024)
+            sdr_j, sir_j = run_pipeline(f_jax, mix, premix, 1024)
+            dsdr = max(dsdr, float(np.max(np.abs(sdr_j - sdr_o))))
+            dsir = max(dsir, float(np.max(np.abs(sir_j - sir_o))))
+        if gated:
+            worst = max(worst, dsdr, dsir)
+            flag = "OK" if max(dsdr, dsir) < 0.1 else "FAIL"
+        else:
+            flag = "(info only)"
+        print(f"{name:26s} {dsdr:10.4f} {dsir:10.4f}  {flag}", flush=True)
+    print(f"\nworst gated delta: {worst:.4f} dB -> "
+          f"{'PASS' if worst < 0.1 else 'FAIL'}")
     return 0 if worst < 0.1 else 1
 
 

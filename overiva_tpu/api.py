@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from .models import auxiva_pca as _pca_mod
 from .models import ogive as _ogive_mod
 from .models import overiva as _core
+from .models import overiva_df as _dfcore
 from .ops import projection as _proj
 from .ops import stft as _stft
 from .ops import wpe as _wpe_mod
@@ -162,6 +163,46 @@ def _finalize(X, W_hat, n_src, proj_back):
 
 # -------------------------------------------------------------- algorithms
 
+def _overiva_df_host(X, N, n_iter, model, proj_back, W0, return_filters,
+                     callback, callback_every, chunk_frames):
+    """Host plumbing for the double-float tier (acc="f32x2"): exact f32
+    planes in, df epochs on device, c64 out. Mirrors the main path's
+    callback chunking."""
+    re, im = split_np(X.astype(np.complex64), np.float32)
+    xr, xi = jnp.asarray(re), jnp.asarray(im)
+    one = np.float32(1.0)
+    chunk = int(chunk_frames) if chunk_frames else 16
+    if W0 is not None:
+        w0 = np.asarray(W0).astype(np.complex64)
+        w0r, w0i = (jnp.asarray(p) for p in split_np(w0, np.float32))
+    else:
+        w0r = w0i = jnp.zeros((0,), jnp.float32)
+    W, Cx = _dfcore.prepare_df(xr, xi, w0r, w0i, one, N, W0 is not None)
+
+    def run(W, step):
+        return _dfcore.overiva_df_iterations(
+            xr, xi, W, Cx, one, N, step, model, chunk=chunk
+        )
+
+    if callback is None:
+        W = run(W, n_iter)
+    else:
+        done = 0
+        while done < n_iter:
+            yr, yi = _dfcore.finalize_df(xr, xi, W, one, N, True)
+            callback(merge_np(np.asarray(yr), np.asarray(yi)))
+            step = min(callback_every, n_iter - done)
+            W = run(W, step)
+            done += step
+
+    yr, yi = _dfcore.finalize_df(xr, xi, W, one, N, proj_back)
+    Y = merge_np(np.asarray(yr), np.asarray(yi))
+    if return_filters:
+        wr, wi = _dfcore.df_to_planes(W)
+        return Y, merge_np(np.asarray(wr), np.asarray(wi))
+    return Y
+
+
 def overiva(
     X,
     n_src=None,
@@ -176,6 +217,7 @@ def overiva(
     dtype=None,
     chunk_frames=None,
     wcov="f32",
+    acc="f32",
 ):
     """OverIVA (AuxIVA when n_src == n_chan). Reference: ``overiva.py``.
 
@@ -198,6 +240,14 @@ def overiva(
     per-instance spread at the condition's intrinsic sensitivity floor
     (DESIGN §2c round-3 stress table). The f32 default is the 0.1 dB
     parity path.
+
+    ``acc="f32x2"``: run the ENTIRE iteration in double-float (emulated
+    f64) on the device — the parity tier that closes the gauss-family
+    complex64 floor against the f64 oracle on hardware with no native
+    float64 (models/overiva_df.py, PARITY.md round-4 experiment).
+    ~20x the arithmetic of the f32 path; use for certification, not
+    throughput. Not combinable with ``init_eig`` or a non-default
+    ``dtype``/``wcov``.
     """
     X = np.asarray(X)
     T, F, M = X.shape
@@ -207,6 +257,16 @@ def overiva(
     cdtype = np.dtype(dtype or DEFAULT_DTYPE)
     if str(wcov) not in WCOV_MODES:
         raise ValueError(f"wcov must be one of {WCOV_MODES}, got {wcov!r}")
+    if str(acc) not in ("f32", "f32x2"):
+        raise ValueError(f"acc must be 'f32' or 'f32x2', got {acc!r}")
+    if acc == "f32x2":
+        if init_eig:
+            raise ValueError("init_eig is not supported with acc='f32x2'")
+        return _overiva_df_host(
+            X, N, int(n_iter), str(model), bool(proj_back), W0,
+            bool(return_filters), callback, int(callback_every),
+            chunk_frames,
+        )
 
     Xd = _to_device(X, cdtype)
     W0d = _to_device(W0, cdtype) if W0 is not None else Xd[:0]  # placeholder
@@ -754,6 +814,7 @@ def auxiva(
     callback_every=10,
     dtype=None,
     wcov="f32",
+    acc="f32",
 ):
     """Determined AuxIVA. Reference: ``pyroomacoustics.bss.auxiva``."""
     X = np.asarray(X)
@@ -774,6 +835,7 @@ def auxiva(
         callback_every=callback_every,
         dtype=dtype,
         wcov=wcov,
+        acc=acc,
     )
 
 
@@ -1317,6 +1379,14 @@ def stft_synthesis_batch(X, nfft, hop=None, win_s=None, dtype=None):
     hop = hop or nfft // 2
     cdtype = np.dtype(dtype or DEFAULT_DTYPE)
     Xd = _to_device(_ensure(X), cdtype)
+    if Xd.ndim != 4:
+        # an unbatched (T, F, N) input would vmap over frames and feed the
+        # squeeze path garbage — fail loudly instead (ADVICE r3)
+        raise ValueError(
+            "stft_synthesis_batch expects (B, T, nfft//2+1, N); got shape "
+            f"{tuple(Xd.shape)} — use stft_synthesis for unbatched input "
+            "or add a leading batch axis"
+        )
     if win_s is None:
         w = _stft.synthesis_window(_stft.hann(int(nfft)), int(hop))
     else:
@@ -1619,6 +1689,22 @@ def _fastmnmf_impl(
 
     X = np.asarray(X)
     T, F, M = X.shape
+    # Measured regime boundary (PARITY.md "FastMNMF long-horizon regime
+    # boundary"): with starved frames the full-rank model overfits at long
+    # horizons in ANY precision — f64 drifts, f32 collapses to garbage /
+    # non-finite. Warn before the user hits the documented cliff.
+    if T < 150 and n_iter > 60:
+        import warnings
+
+        warnings.warn(
+            f"FastMNMF with only T={T} frames and n_iter={n_iter}: below "
+            "the measured safe regime (T >= ~150 for 100+ epochs — "
+            "PARITY.md). The full-rank model overfits starved frames at "
+            "long horizons; float32 can go non-finite. Use a smaller nfft "
+            "(more frames) or n_iter <= 60.",
+            UserWarning,
+            stacklevel=3,
+        )
     N_out = M if n_src is None else int(n_src)
     if N_out < 1:
         raise ValueError("need n_src >= 1")
