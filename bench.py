@@ -207,6 +207,23 @@ def main():
             check_finite(W)
             extra["overiva_T512_f32x3_it_s"] = round(N_ITER / t5x, 1)
 
+        with _row("epoch_roofline"):
+            # ---- HBM roofline tracking (VERDICT r3 item 8): marginal
+            # T=512 epoch time vs the single-X-pass traffic ideal — one
+            # X read (T*F*M c64) plus the V writes (K*F*M^2 c64). frac
+            # -> 1.0 as the epoch approaches speed-of-light on the
+            # v5e's ~0.8 TB/s HBM; DESIGN §2c tracks the fusion work. ----
+            t130, W = timed(
+                lambda: overiva_iterations(X5, W_hat5, Cx5, N, 130, "laplace"),
+                repeats=2,
+            )
+            check_finite(W)
+            marg = (t130 - t5) / 100.0  # s/iter, dispatch cancelled
+            bytes_ideal = 512 * F * M * 8 + N * F * M * M * 8
+            gbps = bytes_ideal / marg / 1e9
+            extra["overiva_T512_marginal_ms"] = round(marg * 1e3, 3)
+            extra["epoch_hbm_frac"] = round(gbps / 800.0, 4)
+
         with _row("overiva_batch16"):
             # ---- batched serving throughput: 16 mixtures per fused program.
             # The sweep/serving fan-out path (api.overiva_batch): dispatch overhead

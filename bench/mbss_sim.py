@@ -293,14 +293,22 @@ def batch_instances(cfg, group, simulated):
     # otherwise; NumPy FFT/BLAS release the GIL). Device work — run_batch
     # and the fused batch synthesis — stays on this thread: the axon
     # tunnel is a serial resource and scoring must never race it.
-    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import ThreadPoolExecutor, wait as _fwait
 
+    # Overlapped scoring inflates the reported runtime on CPU-starved
+    # hosts (host bss_eval threads contend with dispatch during the next
+    # algorithm's timed window — ADVICE r3). cfg["strict_timing"] drains
+    # pending scores before every timed run when runtime fidelity matters
+    # more than sweep wall time.
+    strict = bool(cfg.get("strict_timing"))
     futures = {}
     with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as pool:
         for name, params in cfg["algos"].items():
             if not applicable(name, n_src, n_mics):
                 continue
             spec = get_algorithm(name)
+            if strict and futures:
+                _fwait(list(futures.values()))
             try:
                 t0 = time.perf_counter()
                 Yb = spec.run_batch(
@@ -309,24 +317,41 @@ def batch_instances(cfg, group, simulated):
                 )
                 device_sync(Yb)  # honest runtime: execution, not dispatch
                 runtime = (time.perf_counter() - t0) / B
-                # ONE fused iSTFT + ONE host transfer for the whole batch
-                # (per-lane synthesis paid a dispatch + transfer each)
-                yb = api.stft_synthesis_batch(Yb, nfft)
-                yb = yb[:, nfft - hop:][:, :n_samp]
             except Exception as e:  # a failed dispatch marks the whole group
                 _reraise_if_transient(e)
                 for b in range(B):
                     results[b][name] = {"error": f"{type(e).__name__}: {e}"}
                 continue
+            # ONE fused iSTFT + ONE host transfer for the whole batch
+            # (per-lane synthesis paid a dispatch + transfer each); on a
+            # batch-synthesis failure, fall back to per-lane synthesis so
+            # one bad lane cannot void the other B-1 (ADVICE r3)
+            lanes = [None] * B
+            lane_err = {}
+            try:
+                yb = api.stft_synthesis_batch(Yb, nfft)
+                lanes = list(yb[:, nfft - hop:][:, :n_samp])
+            except Exception as e:
+                _reraise_if_transient(e)
+                for b in range(B):
+                    try:
+                        y1 = api.stft_synthesis(Yb[b], nfft)
+                        lanes[b] = np.asarray(y1)[nfft - hop:][:n_samp]
+                    except Exception as e1:
+                        _reraise_if_transient(e1)
+                        lane_err[b] = f"{type(e1).__name__}: {e1}"
             for b in range(B):  # score per element: one bad lane must not
-                if not np.all(np.isfinite(yb[b])):  # void the other B-1
+                if b in lane_err:  # void the other B-1
+                    results[b][name] = {"error": lane_err[b]}
+                    continue
+                if not np.all(np.isfinite(lanes[b])):
                     results[b][name] = {
                         "error": "FloatingPointError: "
                         "non-finite separation output"
                     }
                     continue
                 futures[(b, name)] = pool.submit(
-                    evs[b].score_time, yb[b], runtime
+                    evs[b].score_time, lanes[b], runtime
                 )
         for (b, name), fut in futures.items():
             try:
@@ -593,6 +618,13 @@ def main(argv=None):
         help="max same-shape instances per fused batched program "
         "(default: config key 'batch' or 8; 1 = one-at-a-time)",
     )
+    p.add_argument(
+        "--strict-timing", action="store_true",
+        help="drain pending scoring threads before each timed run: "
+        "runtime fidelity over sweep wall time (scoring otherwise "
+        "overlaps the next algorithm's window and can inflate its "
+        "reported runtime on CPU-starved hosts)",
+    )
     args = p.parse_args(argv)
 
     if args.aggregate:
@@ -604,6 +636,8 @@ def main(argv=None):
     cfg = dict(DEFAULT_CONFIG)
     if args.config:
         cfg.update(json.loads(Path(args.config).read_text()))
+    if args.strict_timing:
+        cfg["strict_timing"] = True
     sweep(cfg, Path(args.out), batch=args.batch)
 
 

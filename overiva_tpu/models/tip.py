@@ -31,11 +31,59 @@ __all__ = ["tip_iterations", "_tip_epoch", "augment_taps"]
 _EPS = 1e-15
 
 
+def _schur_pieces(V, n_chan: int):
+    """Schur reduction of the structured T-IP system (VERDICT r3 item 3).
+
+    P_tilde = [[P_top], [0, I]] is block upper-triangular in the
+    augmented coordinates, so solving (P_tilde V) w = e_k (k < M) splits:
+    the bottom block gives w2 = -V22^{-1} V21 w1 = -C w1, and substituting
+    into the top block makes the tap coefficients of P_top CANCEL exactly
+    (B V21 - B V22 C = 0), leaving the M-dim system
+
+        A S w1 = e_k,   S = V11 - V12 C   (the Schur complement),
+        A = P_top[:, :, :M].
+
+    C and S depend only on V — for the background rows (phi = 1, k >= N)
+    V is the plain augmented covariance, CONSTANT across the whole run,
+    so their pieces are computed once in tip_iterations and reused.
+    Returns (C (F, L, M), S (F, M, M))."""
+    F = V.shape[0]
+    M = n_chan
+    L = V.shape[1] - M
+    if L == 0:
+        return jnp.zeros((F, 0, M), V.dtype), V
+    C = gauss_solve(V[:, M:, M:], V[:, M:, :M])  # (F, L, M)
+    S = V[:, :M, :M] - jnp.matmul(
+        V[:, :M, M:], C, precision=PRECISION
+    )
+    return C, S
+
+
+def _background_pieces(Xt, n_chan: int, wcov: str = "f32"):
+    """Run-constant background-row quantities (phi = 1, so they depend
+    only on X_tilde): the Schur pieces (C, S) of the plain augmented
+    covariance plus the tap-residual signal Z = x - C^H x_taps used by
+    the data-form normalizer. Returns (C, S, Z)."""
+    T = Xt.shape[0]
+    M = n_chan
+    ones = jnp.ones((T, 1), Xt.real.dtype)
+    Vbg = weighted_covariance_all(Xt, ones, wcov)[0]
+    C, S = _schur_pieces(Vbg, M)
+    Z = Xt[:, :, :M] - jnp.einsum(
+        "flm,tfl->tfm", jnp.conj(C), Xt[:, :, M:], precision=PRECISION
+    )
+    return C, S, Z
+
+
 def _tip_epoch(
     Xt, P, model, n_chan, axis_name=None, n_freq=None, bin_mask=None,
-    n_src=None, wcov: str = "f32",
+    n_src=None, wcov: str = "f32", bg=None,
 ):
-    """One T-IP epoch. Xt: (T, F, MJ); P: (F, M, MJ) top block."""
+    """One T-IP epoch. Xt: (T, F, MJ); P: (F, M, MJ) top block.
+
+    ``bg``: precomputed ``_background_pieces`` (C, S, Z) of the
+    background rows' (phi = 1) covariance — pass when n_src < n_chan to
+    skip their per-epoch MJ-dim weighted covariance and solve entirely."""
     T, F, MJ = Xt.shape
     M = n_chan
     N = M if n_src is None else n_src
@@ -51,20 +99,25 @@ def _tip_epoch(
         )
 
     for k in range(M):
-        # MJ-dim weighted covariance — unlike the M<=8 IVA wcov this is
-        # genuinely MXU-sized, so the bf16/f32x3 serving tiers of
-        # ops/covariance.py apply (wcov="f32" is the exact parity path).
-        # Deliberately PER SOURCE inside the loop (not the all-K batched
-        # pass the IP families hoist): the batched (M, F, MJ, MJ)
-        # temporary is ~300 MB at the M=8/taps=5 benchmark shape, while
-        # the helper's own A/B found K separate passes perf-neutral.
-        V = weighted_covariance_all(Xt, phif[:, k : k + 1], wcov)[0]
-        PV_top = jnp.einsum(
-            "fmj,fjb->fmb", P, V, precision=PRECISION
-        )  # (F, M, MJ)
-        PV = jnp.concatenate([PV_top, V[:, M:, :]], axis=1)
-        rhs = jnp.zeros((F, MJ, 1), Xt.dtype).at[:, k, 0].set(1.0)
-        w = gauss_solve(PV, rhs)[:, :, 0]  # (F, MJ)
+        if k < N or bg is None:
+            # MJ-dim weighted covariance — unlike the M<=8 IVA wcov this
+            # is genuinely MXU-sized, so the bf16/f32x3 serving tiers of
+            # ops/covariance.py apply (wcov="f32" is the exact parity
+            # path). Deliberately PER SOURCE (a batched all-N pass +
+            # K-stacked Schur solve was MEASURED SLOWER on a v5e: 516 vs
+            # 314 ms for the 10-epoch T=512/taps=5 polish — the batched
+            # (N, F, MJ, MJ) temporary and the reshape copies feeding the
+            # stacked solve cost more than the saved X_tilde reads).
+            V = weighted_covariance_all(Xt, phif[:, k : k + 1], wcov)[0]
+            C, S = _schur_pieces(V, M)
+        else:
+            C, S = bg[0], bg[1]  # phi = 1 rows: run-constant pieces
+        # M-dim Schur system instead of the dense MJ-dim solve
+        AS = jnp.matmul(P[:, :, :M], S, precision=PRECISION)  # (F, M, M)
+        rhs = jnp.zeros((F, M, 1), Xt.dtype).at[:, k, 0].set(1.0)
+        w1 = gauss_solve(AS, rhs)[:, :, 0]  # (F, M)
+        w2 = -jnp.einsum("flm,fm->fl", C, w1, precision=PRECISION)
+        w = jnp.concatenate([w1, w2], axis=1)  # (F, MJ)
         # knife-edge guards (docs/DESIGN.md §4b): exact pow-2 clamp bounds
         # the solve output on near-singular bins, and the normalizer is
         # computed FROM THE DATA, not from V:
@@ -79,7 +132,18 @@ def _tip_epoch(
         # f32 underflow; only exactly-dead bins (denom == 0) keep the
         # previous row.
         w = clamp_pow2(w)
-        yk = jnp.einsum("fa,tfa->tf", jnp.conj(w), Xt, precision=PRECISION)
+        if bg is not None and k >= N:
+            # y = w^H x_tilde = w1^H (x - C^H x_taps) = w1^H Z_bg — the
+            # same non-negative data-form sum, read from the run-constant
+            # (T, F, M) tap-residual instead of the (T, F, MJ) input
+            yk = jnp.einsum(
+                "fm,tfm->tf", jnp.conj(w[:, :M]), bg[2],
+                precision=PRECISION,
+            )
+        else:
+            yk = jnp.einsum(
+                "fa,tfa->tf", jnp.conj(w), Xt, precision=PRECISION
+            )
         denom = (
             jnp.einsum(
                 "t,tf->f", phif[:, k], jnp.abs(yk) ** 2, precision=PRECISION
@@ -119,12 +183,21 @@ def tip_iterations(
     n_src=None,
     wcov: str = "f32",
 ):
-    """Run n_iter fused T-IP epochs on the augmented input. Returns P."""
+    """Run n_iter fused T-IP epochs on the augmented input. Returns P.
+
+    When overdetermined (n_src < n_chan) the background rows' phi = 1
+    covariance and Schur pieces are hoisted out of the epoch loop: they
+    depend only on Xt, so (M - N) of the M per-epoch MJ-dim weighted
+    covariances + solves collapse into one one-time computation."""
+    T = Xt.shape[0]
+    N = n_chan if n_src is None else n_src
+    bg = _background_pieces(Xt, n_chan, wcov) if N < n_chan else None
     return lax.fori_loop(
         0,
         n_iter,
         lambda _, p: _tip_epoch(
-            Xt, p, model, n_chan, axis_name, n_freq, bin_mask, n_src, wcov
+            Xt, p, model, n_chan, axis_name, n_freq, bin_mask, n_src, wcov,
+            bg,
         ),
         P,
     )

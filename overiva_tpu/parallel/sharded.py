@@ -32,6 +32,7 @@ from ..models import five as _five
 from ..models import ilrma as _ilrma
 from ..models import ilrma_t as _ilrma_t
 from ..models import ogive as _ogive
+from ..models import auxiva_pca as _pca_mod
 from ..models import overiva as _core
 from ..models import overiva_ip2 as _ip2
 from ..models import sparseauxiva as _sparse
@@ -46,6 +47,7 @@ from .mesh import AXIS_BINS, AXIS_MIX
 __all__ = [
     "pad_bins",
     "sharded_overiva",
+    "sharded_auxiva_pca",
     "sharded_ogive",
     "sharded_auxiva_iss",
     "sharded_ilrma",
@@ -460,12 +462,17 @@ def _tip_one(
             ),
             (Pm, Y),
         )
+    # background (phi = 1) pieces are run-constant and bin-local —
+    # hoisted exactly as in models.tip.tip_iterations
+    bg = None
+    if n_src is not None and n_src < M:
+        bg = _tip._background_pieces(Xt, M)
     Pm = jax.lax.fori_loop(
         0,
         n_iter,
         lambda _, p: _tip._tip_epoch(
             Xt, p, model, M, axis_name=AXIS_BINS, n_freq=n_freq_total,
-            bin_mask=bin_mask, n_src=n_src,
+            bin_mask=bin_mask, n_src=n_src, bg=bg,
         ),
         Pm,
     )
@@ -749,6 +756,87 @@ def sharded_overiva(
         int(F),
     )
     return Y[:, :, :F, :]
+
+def _pca_one(X, bin_mask, n_src, n_iter, model, n_freq_total, proj_back):
+    """Per-shard, per-mixture PCA + determined AuxIVA on the local bins.
+
+    The per-bin eigh reduction is bin-LOCAL (SURVEY.md §2.3.5), so the
+    only collective stays the (T, N) activation psum of the inner AuxIVA;
+    projection back targets the ORIGINAL local mic 0 (reference
+    convention, api.auxiva_pca)."""
+    T, Fl, M = X.shape
+    N = n_src
+    X_r = _pca_mod.pca(X, N) if N < M else X
+    W_hat = _core.init_w_hat(X_r, N, init_eig=False)
+    # identity init is a shard-constant: give it the loop body's
+    # varying-axes type (same as _iss_one)
+    W_hat = jax.lax.pcast(W_hat, (AXIS_MIX, AXIS_BINS), to="varying")
+    Cx0 = jnp.zeros((Fl, N, N), X_r.dtype)  # unused: determined inner
+
+    def epoch(_, W):
+        return _core._epoch(
+            X_r, W, Cx0, N, model,
+            axis_name=AXIS_BINS, n_freq=n_freq_total, bin_mask=bin_mask,
+        )
+
+    W_hat = jax.lax.fori_loop(0, n_iter, epoch, W_hat)
+    Y = _core.demix(X_r, W_hat)
+    if proj_back:
+        Y = _proj.apply_projection_back(Y, X[:, :, 0])
+    return Y
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "n_src", "n_iter", "model", "proj_back", "n_freq_total"
+    ),
+)
+def _sharded_pca_padded(
+    X, bin_mask, mesh, n_src, n_iter, model, proj_back, n_freq_total
+):
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(AXIS_MIX, None, AXIS_BINS, None), P(AXIS_BINS)),
+        out_specs=P(AXIS_MIX, None, AXIS_BINS, None),
+    )
+    def run(Xl, maskl):
+        sep = lambda x: _pca_one(
+            x, maskl, n_src, n_iter, model, n_freq_total, proj_back
+        )
+        return jax.vmap(sep)(Xl)
+
+    return run(X, bin_mask)
+
+
+def sharded_auxiva_pca(
+    mesh,
+    X_batch,
+    n_src: int,
+    n_iter: int = 20,
+    model: str = "laplace",
+    proj_back: bool = True,
+):
+    """PCA + determined AuxIVA over the mesh (SURVEY.md §2.3.5).
+
+    X_batch: (B, T, F, M) complex, B divisible by the 'mix' axis size.
+    Returns Y: (B, T, F, n_src)."""
+    B, T, F, M = X_batch.shape
+    n_mix = mesh.shape[AXIS_MIX]
+    n_bins = mesh.shape[AXIS_BINS]
+    if B % n_mix != 0:
+        raise ValueError(f"batch {B} not divisible by mix axis {n_mix}")
+    F_pad, mask = pad_bins(F, n_bins)
+    if F_pad != F:
+        reps = jnp.repeat(X_batch[:, :, -1:, :], F_pad - F, axis=2)
+        X_batch = jnp.concatenate([X_batch, reps], axis=2)
+    Y = _sharded_pca_padded(
+        X_batch, jnp.asarray(mask), mesh, int(n_src), int(n_iter), model,
+        bool(proj_back), int(F),
+    )
+    return Y[:, :, :F, :]
+
 
 def _fastmnmf2_one(X, g0, W0, H0, bin_mask, n_iter, mic_index, n_out):
     """Per-shard, per-mixture FastMNMF1/2 on the local bin slice.

@@ -231,3 +231,19 @@ def test_validation():
     X = np.zeros((8, 5, 2), dtype=np.complex64)
     with pytest.raises(ValueError):
         api.fastmnmf2(X, n_src=0)
+
+
+def test_starved_frames_guard_warns(rng):
+    # PARITY.md regime boundary: T < ~150 with n_iter > 60 is the measured
+    # overfit/collapse zone -> the API must warn (VERDICT r3 item 7)
+    import warnings
+
+    from overiva_tpu import api
+
+    X = (rng.standard_normal((40, 9, 3))
+         + 1j * rng.standard_normal((40, 9, 3))).astype(np.complex64)
+    with pytest.warns(UserWarning, match="safe regime"):
+        api.fastmnmf2(X, n_src=2, n_iter=61, seed=1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        api.fastmnmf2(X, n_src=2, n_iter=5, seed=1)  # safe zone: no warning
