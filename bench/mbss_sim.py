@@ -80,10 +80,18 @@ DEFAULT_CONFIG = {
 }
 
 
+def _algo_key(name: str) -> str:
+    """Registry name for a sweep-config key: ``"tip-gauss@taps3"`` resolves
+    the algorithm ``tip-gauss`` while keeping the full key as the result
+    column — matched-arm A/B sweeps of one algorithm under different
+    kwargs in a single config."""
+    return name.split("@", 1)[0]
+
+
 def run_algo(name: str, X, n_src: int, params: dict):
-    if not applicable(name, n_src, X.shape[2]):
+    if not applicable(_algo_key(name), n_src, X.shape[2]):
         return None
-    return get_algorithm(name)(X, n_src=n_src, **params)
+    return get_algorithm(_algo_key(name))(X, n_src=n_src, **params)
 
 
 def simulate_instance(cfg: dict, seed: int, n_mics: int, n_src: int, rt60: float, snr: float):
@@ -304,9 +312,9 @@ def batch_instances(cfg, group, simulated):
     futures = {}
     with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as pool:
         for name, params in cfg["algos"].items():
-            if not applicable(name, n_src, n_mics):
+            if not applicable(_algo_key(name), n_src, n_mics):
                 continue
-            spec = get_algorithm(name)
+            spec = get_algorithm(_algo_key(name))
             if strict and futures:
                 _fwait(list(futures.values()))
             try:

@@ -62,17 +62,18 @@ def _schur_pieces(V, n_chan: int):
 def _background_pieces(Xt, n_chan: int, wcov: str = "f32"):
     """Run-constant background-row quantities (phi = 1, so they depend
     only on X_tilde): the Schur pieces (C, S) of the plain augmented
-    covariance plus the tap-residual signal Z = x - C^H x_taps used by
-    the data-form normalizer. Returns (C, S, Z)."""
+    covariance. Returns (C, S).
+
+    (A third piece was tried and rejected on measurement: computing the
+    background normalizers from the tap-residual Z = x - C^H x_taps reads
+    (T, F, M) instead of (T, F, MJ) per row, yet is reproducibly ~16%
+    SLOWER in-process on a v5e — 359 vs 310 ms for the 10-epoch
+    T=512/taps=5 polish; the narrower einsum lowers worse than the wide
+    one it replaces.)"""
     T = Xt.shape[0]
-    M = n_chan
     ones = jnp.ones((T, 1), Xt.real.dtype)
     Vbg = weighted_covariance_all(Xt, ones, wcov)[0]
-    C, S = _schur_pieces(Vbg, M)
-    Z = Xt[:, :, :M] - jnp.einsum(
-        "flm,tfl->tfm", jnp.conj(C), Xt[:, :, M:], precision=PRECISION
-    )
-    return C, S, Z
+    return _schur_pieces(Vbg, n_chan)
 
 
 def _tip_epoch(
@@ -81,9 +82,9 @@ def _tip_epoch(
 ):
     """One T-IP epoch. Xt: (T, F, MJ); P: (F, M, MJ) top block.
 
-    ``bg``: precomputed ``_background_pieces`` (C, S, Z) of the
-    background rows' (phi = 1) covariance — pass when n_src < n_chan to
-    skip their per-epoch MJ-dim weighted covariance and solve entirely."""
+    ``bg``: precomputed ``_background_pieces`` (C, S) of the background
+    rows' (phi = 1) covariance — pass when n_src < n_chan to skip their
+    per-epoch MJ-dim weighted covariance and solve entirely."""
     T, F, MJ = Xt.shape
     M = n_chan
     N = M if n_src is None else n_src
@@ -132,18 +133,7 @@ def _tip_epoch(
         # f32 underflow; only exactly-dead bins (denom == 0) keep the
         # previous row.
         w = clamp_pow2(w)
-        if bg is not None and k >= N:
-            # y = w^H x_tilde = w1^H (x - C^H x_taps) = w1^H Z_bg — the
-            # same non-negative data-form sum, read from the run-constant
-            # (T, F, M) tap-residual instead of the (T, F, MJ) input
-            yk = jnp.einsum(
-                "fm,tfm->tf", jnp.conj(w[:, :M]), bg[2],
-                precision=PRECISION,
-            )
-        else:
-            yk = jnp.einsum(
-                "fa,tfa->tf", jnp.conj(w), Xt, precision=PRECISION
-            )
+        yk = jnp.einsum("fa,tfa->tf", jnp.conj(w), Xt, precision=PRECISION)
         denom = (
             jnp.einsum(
                 "t,tf->f", phif[:, k], jnp.abs(yk) ** 2, precision=PRECISION
