@@ -224,6 +224,32 @@ def main():
             extra["overiva_T512_marginal_ms"] = round(marg * 1e3, 3)
             extra["epoch_hbm_frac"] = round(gbps / 800.0, 4)
 
+        with _row("overiva_df"):
+            # ---- double-float certification tier (acc="f32x2",
+            # models/overiva_df.py): full-precision parity run at the
+            # hardware-probe shape — quantifies what f64-grade numerics
+            # cost on a chip with no native f64 ----
+            from overiva_tpu.models import overiva_df as _dfc
+
+            T_df, F_df, M_df, N_df = 128, 513, 5, 2
+            re_d, im_d = _make_mix(rng, T_df, F_df, M_df)
+            one = np.float32(1.0)
+            w0p = jnp.zeros((0,), jnp.float32)
+            Wd, Cxd = _dfc.prepare_df(
+                jnp.asarray(re_d), jnp.asarray(im_d), w0p, w0p, one,
+                N_df, False,
+            )
+            t_df, Wdf = timed(
+                lambda: _dfc.overiva_df_iterations(
+                    jnp.asarray(re_d), jnp.asarray(im_d), Wd, Cxd, one,
+                    N_df, 15, "gauss",
+                ),
+                repeats=2,
+            )
+            hi = np.asarray(Wdf[0][0])
+            assert np.isfinite(hi).all()
+            extra["overiva_df15_M5_F513_ms"] = round(t_df * 1e3, 1)
+
         with _row("overiva_batch16"):
             # ---- batched serving throughput: 16 mixtures per fused program.
             # The sweep/serving fan-out path (api.overiva_batch): dispatch overhead
