@@ -65,6 +65,33 @@ def _gauss(fn):
     return run
 
 
+def _df(fn):
+    """Double-float certification tier (acc="f32x2", models/overiva_df.py):
+    the f64-oracle-parity path on hardware with no native float64."""
+
+    def run(X, **kw):
+        kw.setdefault("model", "gauss")
+        kw.setdefault("acc", "f32x2")
+        return fn(X, **kw)
+
+    return run
+
+
+def _df_batch(fn):
+    # the df tier is a certification tool, not a throughput path: the
+    # batch contract is honored by a per-element loop (documented), so
+    # certification arms can still ride the sweep harness
+    import numpy as _np
+
+    def run_batch(X_batch, **kw):
+        kw.setdefault("model", "gauss")
+        kw.setdefault("acc", "f32x2")
+        return _np.stack([fn(_np.asarray(Xb), **kw) for Xb in
+                          _np.asarray(X_batch)])
+
+    return run_batch
+
+
 ALGORITHMS: dict[str, AlgorithmSpec] = {
     s.name: s
     for s in [
@@ -83,6 +110,12 @@ ALGORITHMS: dict[str, AlgorithmSpec] = {
         AlgorithmSpec("overiva-gauss", _gauss(api.overiva),
                       defaults={"n_iter": 20},
                       batch=_gauss(api.overiva_batch)),
+        AlgorithmSpec("overiva-gauss-df", _df(api.overiva),
+                      defaults={"n_iter": 20},
+                      batch=_df_batch(api.overiva)),
+        AlgorithmSpec("auxiva-gauss-df", _df(api.auxiva), determined=True,
+                      defaults={"n_iter": 20},
+                      batch=_df_batch(api.auxiva)),
         AlgorithmSpec("overiva-iss", api.overiva_iss,
                       defaults={"n_iter": 20}, batch=api.auxiva_iss_batch),
         AlgorithmSpec("overiva-iss-gauss", _gauss(api.overiva_iss),

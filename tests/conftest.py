@@ -29,6 +29,15 @@ jax.config.update("jax_debug_nans", True)
 import numpy as np
 import pytest
 
+# Persistent compilation cache: the double-float programs (ops/df.py,
+# models/overiva_df.py) cost ~60-90 s of CPU XLA compile per shape; with
+# the cache they compile once per machine instead of once per suite run.
+# Numerics are unaffected — the cache stores executables keyed by the
+# exact HLO + config.
+from overiva_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 
 @pytest.fixture
 def rng():

@@ -43,3 +43,19 @@ def test_save_wavs(tmp_path, rng):
     assert all(p.exists() for p in paths)
     player = AudioPlayer(paths)
     assert isinstance(player.player, (str, type(None)))
+
+
+def test_df_registry_names(rng):
+    # certification-tier names dispatch the acc="f32x2" path and honor
+    # the batch contract (per-element loop — documented non-fused)
+    from overiva_tpu.registry import get_algorithm
+
+    X = (rng.standard_normal((40, 9, 3))
+         + 1j * rng.standard_normal((40, 9, 3))).astype(np.complex64)
+    spec = get_algorithm("overiva-gauss-df")
+    Y = spec(X, n_src=2, n_iter=3)
+    assert Y.shape == (40, 9, 2) and np.isfinite(Y).all()
+    Yb = spec.run_batch(np.stack([X, X]), n_src=2, n_iter=3)
+    assert Yb.shape == (2, 40, 9, 2)
+    np.testing.assert_array_equal(Yb[0], Yb[1])
+    np.testing.assert_array_equal(Yb[0], Y)

@@ -52,7 +52,7 @@ def test_registry_names_are_complete():
         "auxiva_pca-ip2",
         "sparseauxiva", "ilrma", "ilrma-t", "fastmnmf", "fastmnmf2", "five",
         "ogive", "ogive-mix", "ogive-switching", "tiss", "tiss-gauss",
-        "tip", "tip-gauss",
+        "tip", "tip-gauss", "overiva-gauss-df", "auxiva-gauss-df",
     }
     assert expected == set(ALGORITHMS), (
         expected ^ set(ALGORITHMS)
