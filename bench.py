@@ -239,15 +239,16 @@ def main():
                 jnp.asarray(re_d), jnp.asarray(im_d), w0p, w0p, one,
                 N_df, False,
             )
-            t_df, Wdf = timed(
+            # timed()/sync() expect an array (or a 1-level tuple); hand
+            # them the hi plane of the df pytree
+            t_df, hi_d = timed(
                 lambda: _dfc.overiva_df_iterations(
                     jnp.asarray(re_d), jnp.asarray(im_d), Wd, Cxd, one,
                     N_df, 15, "gauss",
-                ),
+                )[0][0],
                 repeats=2,
             )
-            hi = np.asarray(Wdf[0][0])
-            assert np.isfinite(hi).all()
+            assert np.isfinite(np.asarray(hi_d)).all()
             extra["overiva_df15_M5_F513_ms"] = round(t_df * 1e3, 1)
 
         with _row("overiva_batch16"):

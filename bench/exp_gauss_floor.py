@@ -18,8 +18,7 @@ from pathlib import Path
 
 import numpy as np
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "repo"))
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import overiva_tpu.oracle as oracle
 from overiva_tpu.metrics import bss_eval_sources
@@ -53,7 +52,7 @@ def overiva_variant(X, n_src, n_iter, model="gauss", f64_act=False,
         update_J()
 
     eyes = np.tile(np.eye(M, dtype=X.dtype), (F, 1, 1))
-    X64 = X.astype(np.complex128) if f64_act else None
+    X64 = X.astype(np.complex128) if (f64_act or phi_f64) else None
     for _ in range(n_iter):
         W1 = W_hat[:, :N, :]
         if f64_act:
@@ -141,6 +140,16 @@ def main():
         variants = {
             "A_f64": lambda: run(lambda _: sep(X), mix, premix),
             "B_c64": lambda: run(lambda _: sep(Xc), mix, premix),
+            "C_f64_act": lambda: run(
+                lambda _: sep(Xc, f64_act=True), mix, premix),
+            "C2_f64_act_phi": lambda: run(
+                lambda _: sep(Xc, f64_act=True, phi_f64=True), mix, premix),
+            "D_plus_norm": lambda: run(
+                lambda _: sep(Xc, f64_act=True, phi_f64=True, f64_norm=True),
+                mix, premix),
+            "E_plus_solve": lambda: run(
+                lambda _: sep(Xc, f64_act=True, phi_f64=True, f64_norm=True,
+                              f64_solve=True), mix, premix),
             "F_quant_only": lambda: run(
                 lambda _: sep(Xc.astype(np.complex128)), mix, premix),
         }

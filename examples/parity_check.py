@@ -93,7 +93,8 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.seeds > 1:
-        seeds = [7] + [s for s in range(args.seeds * 2) if s != 7]
+        first = args.seed  # 7 (the historical worst case) unless overridden
+        seeds = [first] + [s for s in range(args.seeds * 2) if s != first]
         seeds = seeds[: args.seeds]
     else:
         seeds = [args.seed]

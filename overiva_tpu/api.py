@@ -262,6 +262,16 @@ def overiva(
     if acc == "f32x2":
         if init_eig:
             raise ValueError("init_eig is not supported with acc='f32x2'")
+        if dtype is not None and cdtype != np.dtype(np.complex64):
+            raise ValueError(
+                "acc='f32x2' is the double-float-of-complex64 tier; "
+                f"dtype={dtype!r} is not combinable with it"
+            )
+        if str(wcov) != "f32":
+            raise ValueError(
+                f"wcov={wcov!r} is not combinable with acc='f32x2' "
+                "(the df tier has its own precision)"
+            )
         return _overiva_df_host(
             X, N, int(n_iter), str(model), bool(proj_back), W0,
             bool(return_filters), callback, int(callback_every),
@@ -595,12 +605,17 @@ def tiss(
     jax.jit, static_argnames=("n_iter", "model", "n_chan", "n_src", "wcov")
 )
 def _tip_chunk(Xt, P, n_iter, model, n_chan, n_src, wcov="f32"):
-    from .models.tip import _tip_epoch
+    from .models.tip import _background_pieces, _tip_epoch
 
+    # same run-constant background hoist as tip_iterations: recomputed
+    # per chunk (cheap — one covariance) instead of per EPOCH
+    N = n_chan if n_src is None else n_src
+    bg = _background_pieces(Xt, n_chan, wcov) if N < n_chan else None
     return jax.lax.fori_loop(
         0,
         n_iter,
-        lambda _, p: _tip_epoch(Xt, p, model, n_chan, n_src=n_src, wcov=wcov),
+        lambda _, p: _tip_epoch(Xt, p, model, n_chan, n_src=n_src, wcov=wcov,
+                                bg=bg),
         P,
     )
 

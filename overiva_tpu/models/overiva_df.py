@@ -148,10 +148,7 @@ def _gauss_solve_df(A, B):
         T = df.cwhere(
             keep, tree_map(lambda x: x[:, None, :], piv), newT
         )
-    X = _slice(T, (slice(None), slice(None), slice(m, m + r)))
-    dead_any = jnp.zeros((F,), bool)  # per-bin deadness folded below
-    del dead_any
-    return X
+    return _slice(T, (slice(None), slice(None), slice(m, m + r)))
 
 
 def _chunk_frames(T, chunk):
@@ -189,7 +186,7 @@ def covariance_df(xr, xi, chunk=16):
     return df.cscale(acc, invT)
 
 
-def _demix_pw(xr, xi, W1, model_needs_y=False, chunk=64):
+def _demix_pw(xr, xi, W1, chunk=64):
     """Per-frame power pw (T, N) df of Y = W1 demix(X) without keeping Y."""
     T, F, M = xr.shape
     N = W1[0][0].shape[1]

@@ -70,8 +70,7 @@ def _background_pieces(Xt, n_chan: int, wcov: str = "f32"):
     SLOWER in-process on a v5e — 359 vs 310 ms for the 10-epoch
     T=512/taps=5 polish; the narrower einsum lowers worse than the wide
     one it replaces.)"""
-    T = Xt.shape[0]
-    ones = jnp.ones((T, 1), Xt.real.dtype)
+    ones = jnp.ones((Xt.shape[0], 1), Xt.real.dtype)
     Vbg = weighted_covariance_all(Xt, ones, wcov)[0]
     return _schur_pieces(Vbg, n_chan)
 
@@ -104,11 +103,13 @@ def _tip_epoch(
             # MJ-dim weighted covariance — unlike the M<=8 IVA wcov this
             # is genuinely MXU-sized, so the bf16/f32x3 serving tiers of
             # ops/covariance.py apply (wcov="f32" is the exact parity
-            # path). Deliberately PER SOURCE (a batched all-N pass +
-            # K-stacked Schur solve was MEASURED SLOWER on a v5e: 516 vs
-            # 314 ms for the 10-epoch T=512/taps=5 polish — the batched
-            # (N, F, MJ, MJ) temporary and the reshape copies feeding the
-            # stacked solve cost more than the saved X_tilde reads).
+            # path). Deliberately PER SOURCE and DENSE: two alternatives
+            # were measured slower on a v5e at the 10-epoch T=512/taps=5
+            # polish — a batched all-N pass + K-stacked Schur solve (516
+            # vs 314 ms: the (N, F, MJ, MJ) temporary and reshape copies
+            # cost more than the saved X_tilde reads), and frame-chunked
+            # accumulation (chunk=128: 357 vs 313 ms — same scan-
+            # serialization penalty as the IVA epoch, DESIGN §2c r3).
             V = weighted_covariance_all(Xt, phif[:, k : k + 1], wcov)[0]
             C, S = _schur_pieces(V, M)
         else:
@@ -179,7 +180,6 @@ def tip_iterations(
     covariance and Schur pieces are hoisted out of the epoch loop: they
     depend only on Xt, so (M - N) of the M per-epoch MJ-dim weighted
     covariances + solves collapse into one one-time computation."""
-    T = Xt.shape[0]
     N = n_chan if n_src is None else n_src
     bg = _background_pieces(Xt, n_chan, wcov) if N < n_chan else None
     return lax.fori_loop(

@@ -86,6 +86,7 @@ def _df_batch(fn):
     def run_batch(X_batch, **kw):
         kw.setdefault("model", "gauss")
         kw.setdefault("acc", "f32x2")
+        kw.pop("device", None)  # harness-only kwarg of the fused batchers
         return _np.stack([fn(_np.asarray(Xb), **kw) for Xb in
                           _np.asarray(X_batch)])
 
