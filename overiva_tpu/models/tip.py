@@ -87,8 +87,10 @@ def _tip_epoch(
     T, F, MJ = Xt.shape
     M = n_chan
     N = M if n_src is None else n_src
-    Y = demix(Xt, P)
-    pw = power(Y[:, :, :N], bin_mask)
+    # only the N target outputs feed the activations — don't demix the
+    # background rows (M/N-fold waste on this X_tilde-read stage)
+    Y = demix(Xt, P[:, :N, :])
+    pw = power(Y, bin_mask)
     if axis_name is not None:
         pw = lax.psum(pw, axis_name)
     _, phi = activations_from_power(pw, n_freq or F, model)

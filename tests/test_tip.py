@@ -221,3 +221,21 @@ def test_tip_polish_improves_tiss_on_reverberant_room():
     # 6.01->7.05, 9.67->10.42); assert with slack for platform noise
     assert sir_tip > sir_tiss - 0.5, (sir_tiss, sir_tip)
     assert sir_tip > 8.0, sir_tip
+
+def test_callback_path_matches_plain(mixture23):
+    """The chunked callback path (api._tip_chunk, with its per-chunk
+    background-pieces hoist) must be trajectory-identical to the fused
+    no-callback run."""
+    X = mixture23
+    Y_plain = api.tip(
+        X, n_src=2, taps=2, delay=1, n_iter=4, warm_iter=2,
+        dtype=np.complex128,
+    )
+    snaps = []
+    Y_cb = api.tip(
+        X, n_src=2, taps=2, delay=1, n_iter=4, warm_iter=2,
+        dtype=np.complex128, callback=lambda y: snaps.append(y),
+        callback_every=2,
+    )
+    assert len(snaps) == 2
+    np.testing.assert_allclose(Y_cb, Y_plain, rtol=1e-10, atol=1e-12)
