@@ -29,14 +29,15 @@ jax.config.update("jax_debug_nans", True)
 import numpy as np
 import pytest
 
-# Persistent compilation cache: the double-float programs (ops/df.py,
-# models/overiva_df.py) cost ~60-90 s of CPU XLA compile per shape; with
-# the cache they compile once per machine instead of once per suite run.
-# Numerics are unaffected — the cache stores executables keyed by the
-# exact HLO + config.
-from overiva_tpu.utils.cache import enable_persistent_cache
-
-enable_persistent_cache()
+# NO persistent compilation cache here, deliberately: reading cached
+# executables back under the 8-virtual-device CPU config segfaults
+# DETERMINISTICALLY in jax's compilation_cache.get_executable_and_time
+# (reproduced twice at the same suite position, including with a fresh
+# cache dir — a jaxlib deserialization bug, not cache corruption). The
+# double-float programs therefore recompile each suite run (~60-90 s per
+# shape); correctness beats the wall-clock. CLI entry points keep the
+# cache — the TPU path deserializes fine (verified by repeated bench.py
+# runs).
 
 
 @pytest.fixture
