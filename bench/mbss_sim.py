@@ -29,10 +29,6 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from overiva_tpu.utils.cache import enable_persistent_cache
-
-enable_persistent_cache()
-
 import os
 
 if os.environ.get("OVERIVA_FORCE_CPU"):
@@ -611,6 +607,14 @@ def aggregate(out_dir: Path, plot: bool = False):
 
 
 def main(argv=None):
+    # persistent cache only for CLI runs: enabling it at IMPORT time
+    # poisoned the test suite (tests import this module on the CPU
+    # backend, where reading .jax_cache's TPU-written entries segfaults
+    # in jaxlib — tests/conftest.py has the full story)
+    from overiva_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("config", nargs="?", default=None)
     p.add_argument("--out", type=str, default="data/sweep")
