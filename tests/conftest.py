@@ -29,15 +29,16 @@ jax.config.update("jax_debug_nans", True)
 import numpy as np
 import pytest
 
-# NO persistent compilation cache here, deliberately: reading cached
-# executables back under the 8-virtual-device CPU config segfaults
-# DETERMINISTICALLY in jax's compilation_cache.get_executable_and_time
-# (reproduced twice at the same suite position, including with a fresh
-# cache dir — a jaxlib deserialization bug, not cache corruption). The
-# double-float programs therefore recompile each suite run (~60-90 s per
-# shape); correctness beats the wall-clock. CLI entry points keep the
-# cache — the TPU path deserializes fine (verified by repeated bench.py
-# runs).
+# NO persistent compilation cache here, deliberately. Three suite runs
+# segfaulted deterministically in jax's
+# compilation_cache.get_executable_and_time; root cause: reading
+# .jax_cache entries WRITTEN BY THE TPU ENTRY POINTS from the CPU test
+# backend (bench/mbss_sim.py used to enable the shared cache at import
+# time, re-pointing the whole suite at it mid-run — fixed to enable in
+# main() only). The double-float programs therefore recompile each
+# suite run (~60-90 s per shape); correctness beats wall-clock. If a
+# test-only cache dir is ever re-attempted, verify a FULL back-to-back
+# double suite run first.
 
 
 @pytest.fixture
