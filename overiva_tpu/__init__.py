@@ -70,6 +70,9 @@ _API = {
     "ilrma_t_batch": "api",
     "tip": "api",
     "tip_batch": "api",
+    "Separator": "serving",
+    "SERVABLE": "serving",
+    "bucket_frames": "serving",
     "OnlineAuxIVAISS": "api",
     "OnlineTISS": "api",
     "OnlineWPE": "api",

@@ -1,0 +1,124 @@
+"""Serving tier (overiva_tpu/serving.py): static-shape frame buckets.
+
+The load-bearing test is ``test_padding_invariance``: for every algorithm
+in ``SERVABLE``, the bucketed clip path (zero-frame padding to a grid
+shape) must reproduce the unpadded pipeline's samples — this is the
+algebraic claim in the module docstring, gated per family. NMF-family
+algorithms are genuinely NOT invariant and must be refused by default.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from helpers import make_mixture
+
+from overiva_tpu import api
+from overiva_tpu.oracle.stft import stft_pad
+from overiva_tpu.serving import SERVABLE, Separator, bucket_frames
+
+NFFT, HOP = 128, 64
+CDT = np.complex128
+
+
+def _unpadded(spec, x, n_src, **kw):
+    """The reference clip pipeline: stft_pad -> analyze -> algo -> synth."""
+    xp = stft_pad(x, NFFT, HOP)
+    X = api.stft_analysis(xp, NFFT, HOP, dtype=CDT)
+    Y = spec(X, n_src=n_src, **kw)
+    if Y.ndim == 2:
+        Y = Y[:, :, None]
+    y = api.stft_synthesis(Y, NFFT, HOP, dtype=CDT)
+    if y.ndim == 1:
+        y = y[:, None]
+    front = NFFT - HOP
+    return y[front : front + x.shape[0]]
+
+
+def _n_src_for(spec):
+    if spec.determined or spec.single_output:
+        return None
+    return 2
+
+
+@pytest.fixture(scope="module")
+def mixture():
+    rng = np.random.default_rng(7)
+    mix, _, _ = make_mixture(rng, n_src=2, n_mics=3, n_samples=4000)
+    return mix
+
+
+@pytest.mark.parametrize("algo", SERVABLE)
+def test_padding_invariance(algo, mixture):
+    from overiva_tpu.registry import get_algorithm
+
+    spec = get_algorithm(algo)
+    n_src = _n_src_for(spec)
+    kw = {"n_iter": 6, "dtype": CDT}
+    sep = Separator(algo, n_src=n_src, nfft=NFFT, hop=HOP, n_iter=6, dtype=CDT)
+    got = sep.separate(mixture)
+    # the bucket must actually pad — otherwise the test proves nothing
+    assert sep.stats["frames_padded"] > 0
+    want = _unpadded(spec, mixture, n_src, **kw)
+    assert got.shape == want.shape
+    scale = np.max(np.abs(want))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8 * scale)
+
+
+def test_bucket_grid():
+    # exact multiples, monotone, geometric growth, floor at min_frames
+    assert bucket_frames(1) == 32
+    assert bucket_frames(32) == 32
+    assert bucket_frames(33) % 8 == 0
+    prev = 0
+    for t in range(1, 400):
+        b = bucket_frames(t)
+        assert b >= t and b % 8 == 0
+        assert b >= prev
+        prev = b
+    # overhead bounded by the ratio (plus rounding to the multiple)
+    assert bucket_frames(321) <= int(321 * 1.25) + 8
+
+
+def test_bucket_reuse(mixture):
+    sep = Separator("auxiva", nfft=NFFT, hop=HOP, dtype=CDT, n_iter=2)
+    sep.separate(mixture[:3600])
+    sep.separate(mixture[:3900])  # same bucket: executable reuse
+    assert sep.n_buckets() == 1
+    assert sep.stats["clips"] == 2
+    sep.separate(mixture[:2000])  # smaller bucket
+    assert sep.n_buckets() == 2
+
+
+def test_refuses_non_invariant_families():
+    with pytest.raises(ValueError, match="not verified padding-invariant"):
+        Separator("ilrma", nfft=NFFT)
+    with pytest.raises(ValueError, match="proj_back"):
+        Separator("overiva", nfft=NFFT, proj_back=False)
+
+
+def test_allow_unverified_smoke(mixture):
+    # NMF family still RUNS under the bucket path when explicitly allowed
+    sep = Separator(
+        "ilrma", nfft=NFFT, hop=HOP, dtype=CDT, n_iter=3,
+        allow_unverified=True,
+    )
+    y = sep.separate(mixture)
+    assert y.shape == (mixture.shape[0], 3)
+    assert np.all(np.isfinite(y))
+
+
+def test_mono_input_and_single_output(mixture):
+    sep = Separator("five", nfft=NFFT, hop=HOP, dtype=CDT, n_iter=3)
+    y = sep.separate(mixture)
+    assert y.shape == (mixture.shape[0], 1)
+
+
+def test_warmup(mixture):
+    sep = Separator("auxiva", nfft=NFFT, hop=HOP, dtype=CDT, n_iter=2)
+    touched = sep.warmup(n_chan=3, n_samples=4000)
+    assert touched == sep.n_buckets() >= 2
+    # a real clip after warmup lands in an already-seen bucket
+    before = sep.n_buckets()
+    sep.separate(mixture)
+    assert sep.n_buckets() == before
