@@ -273,6 +273,43 @@ def main():
             check_finite(Wb)
             extra["overiva_batch16_it_s_per_mix"] = round(B * N_ITER / t_b, 1)
 
+        with _row("serving_clip"):
+            # ---- serving tier (overiva_tpu/serving.py): warm end-to-end
+            # clip latency — numpy waveform in -> separated waveform out
+            # (STFT, 30 OverIVA iterations, projection back, iSTFT) through
+            # the bucket grid at the headline config. rt_factor = audio
+            # seconds separated per wall second on one chip. ----
+            from overiva_tpu.serving import Separator
+
+            fs = 16000
+            sep = Separator("overiva", n_src=N, nfft=4096, hop=2048,
+                            n_iter=N_ITER)
+            rngs = np.random.default_rng(3)
+            clip = rngs.standard_normal((8 * fs, M)).astype(np.float32)
+            gate = np.repeat(
+                np.where(rngs.random(clip.shape[0] // 160 + 1) < 0.5, 1.0, 0.1),
+                160,
+            )[: clip.shape[0]]
+            clip *= gate[:, None].astype(np.float32)
+            sep.separate(clip)  # compile + first (slow) tunnel exec
+            best = np.inf
+            for _ in range(3):
+                t0 = time.perf_counter()
+                y_s = sep.separate(clip)
+                best = min(best, time.perf_counter() - t0)
+            assert np.isfinite(y_s).all()
+            extra["serving_warm_clip8s_ms"] = round(best * 1e3, 1)
+            extra["serving_rt_factor"] = round(8.0 / best, 1)
+
+            # fused same-bucket batch: 8 clips, one dispatch (separate_batch)
+            clips = [clip[: 8 * fs - i * 2048] for i in range(8)]
+            sep.separate_batch(clips)  # compile the batched program
+            t0 = time.perf_counter()
+            outs = sep.separate_batch(clips)
+            t_sb = time.perf_counter() - t0
+            assert all(np.isfinite(o).all() for o in outs)
+            extra["serving_batch8_ms_per_clip"] = round(t_sb / 8 * 1e3, 1)
+
         with _row("wpe_T512"):
             # ---- WPE dereverb front (extension, ops/wpe.py): full preprocessing
             # pass at the realistic horizon — T=512, M=8, 5 taps, 2 iterations ----

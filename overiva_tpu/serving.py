@@ -25,13 +25,20 @@ property of the IP/ISS family, not on approximation:
   of the unpadded one, and projection back (which rescales each source
   against the UNPADDED reference channel) cancels that scalar exactly.
 
-NMF-family algorithms (ilrma, fastmnmf*) are NOT padding-invariant —
-their multiplicative-update denominators sum model terms over frames
-without an ``|x|^2`` factor, so zero frames shift the updates — and
-sparseauxiva's LASSO threshold is scale-absolute. ``SERVABLE`` lists the
-algorithms whose invariance is gated by ``tests/test_serving.py``;
-anything else requires ``allow_unverified=True`` (results are then merely
-plausible, not bit-matched to the unpadded run).
+Padding is PREPENDED, which extends exactness to the tap-augmented joint
+family (tiss/tip): delayed copies of leading zero frames are themselves
+zero, and the first real frames' taps reach back into zeros exactly as
+the unpadded run's zero-fill does. Appended padding would place real data
+in the padded frames' tap blocks.
+
+NMF-family algorithms (ilrma, ilrma-t, fastmnmf*) are NOT
+padding-invariant — their multiplicative-update denominators sum model
+terms over frames without an ``|x|^2`` factor, so zero frames shift the
+updates — and sparseauxiva's LASSO threshold is scale-absolute.
+``SERVABLE`` lists the algorithms whose invariance is gated by
+``tests/test_serving.py``; anything else requires
+``allow_unverified=True`` (results are then merely plausible, not
+bit-matched to the unpadded run).
 """
 
 from __future__ import annotations
@@ -64,6 +71,14 @@ SERVABLE = (
     "auxiva_pca",
     "auxiva_pca-iss",
     "five",
+    # joint dereverberation+separation: exact because padding is
+    # PREPENDED — delayed tap copies of leading zero frames are zero, and
+    # the first real frames' taps reach into zeros exactly like the
+    # unpadded run's zero-fill (ilrma-t stays out: NMF model)
+    "tiss",
+    "tiss-gauss",
+    "tip",
+    "tip-gauss",
 )
 
 
@@ -188,15 +203,24 @@ class Separator:
         xp = stft_pad(x, nfft, hop)  # front zeros + frame completion
         t_real = (xp.shape[0] - nfft) // hop + 1
         t_bucket = self._bucket(t_real)
-        n_bucket = (t_bucket - 1) * hop + nfft
+        t_pad = t_bucket - t_real
+        # padding goes at the FRONT: a tap-augmented frame (tiss/tip)
+        # stacks DELAYED copies, so leading zero frames stay zero in every
+        # tap block, and the first real frames' taps reach back into zeros
+        # exactly like the unpadded run's zero-fill — appended padding
+        # would put real data in the padded frames' tap blocks and break
+        # exactness for the joint family. The +hop-1 tail fixes the
+        # per-bucket sample count when hop does not divide nfft (analysis
+        # ignores samples past the last frame).
+        n_bucket = (t_bucket - 1) * hop + nfft + (hop - 1)
         xb = np.zeros((n_bucket, n_chan), dtype=xp.dtype)
-        xb[: xp.shape[0]] = xp
+        xb[t_pad * hop : t_pad * hop + xp.shape[0]] = xp
 
         X = api.stft_analysis(xb, nfft, hop, dtype=self.dtype)
-        # frames past the clip's own straddle the real/padding boundary
+        # the last prepended frames straddle the padding/real boundary
         # (hop overlap) — zero them so padding frames are EXACTLY zero,
         # which is what the invariance argument needs
-        X[t_real:] = 0.0
+        X[:t_pad] = 0.0
 
         kw = dict(self.algo_kwargs)
         if self.dtype is not None:
@@ -212,9 +236,67 @@ class Separator:
 
         self.stats["clips"] += 1
         self.stats["frames_real"] += t_real
-        self.stats["frames_padded"] += t_bucket - t_real
+        self.stats["frames_padded"] += t_pad
         self.stats["bucket_hits"][(t_bucket, n_chan)] += 1
-        return y[front : front + n]
+        start = t_pad * hop + front
+        return y[start : start + n]
+
+    def separate_batch(self, clips) -> list[np.ndarray]:
+        """Separate a sequence of clips, fusing same-bucket clips.
+
+        Clips are grouped by (frame bucket, n_chan); each group runs as
+        ONE fused XLA program through the family's batched runner
+        (``registry`` ``run_batch`` — gated elsewhere to match per-clip
+        runs element-wise), so a traffic mix of similar lengths pays one
+        dispatch per bucket instead of one per clip. Returns outputs in
+        input order. ``algo_kwargs`` must be ones the family's batch
+        runner accepts (no callbacks).
+        """
+        clips = [np.asarray(c) for c in clips]
+        clips = [c[:, None] if c.ndim == 1 else c for c in clips]
+        nfft, hop = self.nfft, self.hop
+        front = nfft - hop
+        kw = dict(self.algo_kwargs)
+        if self.dtype is not None:
+            kw.setdefault("dtype", self.dtype)
+
+        groups: dict[tuple[int, int], list[int]] = {}
+        prepped = []
+        for i, x in enumerate(clips):
+            if x.ndim != 2:
+                raise ValueError(f"clip {i}: expected (n_samples, n_chan)")
+            xp = stft_pad(x, nfft, hop)
+            t_real = (xp.shape[0] - nfft) // hop + 1
+            t_bucket = self._bucket(t_real)
+            prepped.append((xp, t_real, t_bucket))
+            groups.setdefault((t_bucket, x.shape[1]), []).append(i)
+
+        out: list[np.ndarray | None] = [None] * len(clips)
+        for (t_bucket, n_chan), idxs in groups.items():
+            n_bucket = (t_bucket - 1) * hop + nfft + (hop - 1)
+            xb = np.zeros((len(idxs), n_bucket, n_chan))
+            for b, i in enumerate(idxs):
+                xp, t_real, _ = prepped[i]
+                t_pad = t_bucket - t_real
+                xb[b, t_pad * hop : t_pad * hop + xp.shape[0]] = xp
+            X = api.stft_analysis_batch(xb, nfft, hop, dtype=self.dtype)
+            for b, i in enumerate(idxs):
+                X[b, : t_bucket - prepped[i][1]] = 0.0
+            Y = self.spec.run_batch(X, n_src=self.n_src, **kw)
+            if Y.ndim == 3:  # single-output extractors return (B, T, F)
+                Y = Y[:, :, :, None]
+            y = api.stft_synthesis_batch(Y, nfft, hop, dtype=self.dtype)
+            for b, i in enumerate(idxs):
+                _, t_real, _ = prepped[i]
+                t_pad = t_bucket - t_real
+                start = t_pad * hop + front
+                n = clips[i].shape[0]
+                out[i] = y[b, start : start + n]
+                self.stats["clips"] += 1
+                self.stats["frames_real"] += t_real
+                self.stats["frames_padded"] += t_pad
+                self.stats["bucket_hits"][(t_bucket, n_chan)] += 1
+        return out
 
     def _t_real_of(self, n_samples: int) -> int:
         """Frame count the clip path produces for an ``n_samples`` clip."""

@@ -21,6 +21,20 @@ NFFT, HOP = 128, 64
 CDT = np.complex128
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_after_module():
+    """Free this module's ~40 cached executables (17 families x shapes,
+    c128) when it finishes: with them retained, a later module's XLA CPU
+    compile segfaulted deterministically in jaxlib
+    (backend_compile_and_load inside test_tip.py::test_jax_parity_c128 —
+    same bug family as the conftest cache note; 128 GB free, so state
+    accumulation, not memory pressure)."""
+    yield
+    import jax
+
+    jax.clear_caches()
+
+
 def _unpadded(spec, x, n_src, **kw):
     """The reference clip pipeline: stft_pad -> analyze -> algo -> synth."""
     xp = stft_pad(x, NFFT, HOP)
@@ -88,6 +102,27 @@ def test_bucket_reuse(mixture):
     assert sep.stats["clips"] == 2
     sep.separate(mixture[:2000])  # smaller bucket
     assert sep.n_buckets() == 2
+
+
+def test_separate_batch_matches_per_clip(mixture):
+    sep = Separator("overiva", n_src=2, nfft=NFFT, hop=HOP, dtype=CDT, n_iter=4)
+    clips = [mixture[:3600], mixture[:2000], mixture[:3900]]
+    outs = sep.separate_batch(clips)  # 3600/3900 fuse into one bucket
+    assert sep.n_buckets() == 2 and sep.stats["clips"] == 3
+    ref = Separator("overiva", n_src=2, nfft=NFFT, hop=HOP, dtype=CDT, n_iter=4)
+    for c, o in zip(clips, outs):
+        assert o.shape == (c.shape[0], 2)
+        np.testing.assert_allclose(o, ref.separate(c), rtol=1e-9, atol=1e-12)
+
+
+def test_separate_batch_single_output(mixture):
+    sep = Separator("five", nfft=NFFT, hop=HOP, dtype=CDT, n_iter=3)
+    outs = sep.separate_batch([mixture[:3600], mixture[:3900]])
+    assert all(o.shape == (n, 1) for o, n in zip(outs, (3600, 3900)))
+    ref = Separator("five", nfft=NFFT, hop=HOP, dtype=CDT, n_iter=3)
+    np.testing.assert_allclose(
+        outs[0], ref.separate(mixture[:3600]), rtol=1e-9, atol=1e-12
+    )
 
 
 def test_refuses_non_invariant_families():
