@@ -178,6 +178,18 @@ def main():
             check_finite(W)
             extra["overiva_bf16_it_s"] = round(N_ITER / t_bf, 1)
 
+        with _row("overiva_bf16pack_it_s"):
+            # ---- packed-MXU Pallas single-pass wcov (wcov="bf16pack",
+            # ops/pallas_wcov.py): the §2c r5 precision lever — bf16
+            # planes packed once per program, one X pass per epoch, no
+            # phi-weighted HBM temporary (VERDICT r4 item 2) ----
+            t_pk, W = timed(
+                lambda: overiva_iterations(X, W_hat, Cx, N, N_ITER, "laplace",
+                                           wcov="bf16pack")
+            )
+            check_finite(W)
+            extra["overiva_bf16pack_it_s"] = round(N_ITER / t_pk, 1)
+
         with _row("overiva_f32x3_it_s"):
             # ---- f32x3 middle tier (3-pass bf16 MXU decomposition, ~1e-5 relative
             # operand error vs bf16's ~4e-3 — docs/DESIGN.md §2c round 3) ----
@@ -206,6 +218,12 @@ def main():
             )
             check_finite(W)
             extra["overiva_T512_f32x3_it_s"] = round(N_ITER / t5x, 1)
+            t5p, W = timed(
+                lambda: overiva_iterations(X5, W_hat5, Cx5, N, N_ITER,
+                                           "laplace", wcov="bf16pack")
+            )
+            check_finite(W)
+            extra["overiva_T512_bf16pack_it_s"] = round(N_ITER / t5p, 1)
 
         with _row("epoch_roofline"):
             # ---- HBM roofline tracking (VERDICT r3 item 8): marginal
@@ -309,6 +327,79 @@ def main():
             t_sb = time.perf_counter() - t0
             assert all(np.isfinite(o).all() for o in outs)
             extra["serving_batch8_ms_per_clip"] = round(t_sb / 8 * 1e3, 1)
+
+        with _row("streaming"):
+            # ---- streaming serving surface (serving.StreamingSeparator):
+            # warm per-block latency of the fused samples->samples block
+            # program (STFT framing + online epochs + OLA, all device-
+            # resident) at a realistic config — nfft 512, hop 256, 16-frame
+            # blocks (256 ms of audio), M=4. rt_factor = audio seconds per
+            # wall second; >> 1 is the realtime margin. (VERDICT r4 item 4)
+            from overiva_tpu.serving import StreamingSeparator
+
+            fs_s = 16000
+            blk_cfgs = [
+                ("online_iss", "online-iss", {}),
+                ("online_tiss", "online-tiss", {"taps": 4, "delay": 2}),
+            ]
+            rngb = np.random.default_rng(5)
+            for name_s, algo_s, kw_s in blk_cfgs:
+                seps = StreamingSeparator(
+                    algo_s, n_chan=4, nfft=512, hop=256, block_frames=16,
+                    n_pass=2, **kw_s,
+                )
+                blk = rngb.standard_normal(
+                    (seps.block_samples, 4)
+                ).astype(np.float32)
+                seps.process(blk)  # compile + slow first tunnel exec
+                best_blk = np.inf
+                for _ in range(10):
+                    t0 = time.perf_counter()
+                    out_b = seps.process(blk)
+                    best_blk = min(best_blk, time.perf_counter() - t0)
+                assert np.isfinite(out_b).all()
+                extra[f"{name_s}_block16_ms"] = round(best_blk * 1e3, 2)
+                extra[f"{name_s}_rt_factor"] = round(
+                    (seps.block_samples / fs_s) / best_blk, 1
+                )
+
+        with _row("ogive"):
+            # ---- OGIVE at the reference operating point (SURVEY.md
+            # §2.3.4: up to 4000 cheap epochs, tol 1e-3 early exit inside
+            # ONE lax.while_loop program) — the one behaviorally-distinct
+            # reference algorithm, measured on hardware where the axon
+            # tunnel's dispatch could have dominated (VERDICT r4 item 5).
+            # Wall includes the device->host fetch of the converged epoch
+            # count (the natural serving read-back). ----
+            from overiva_tpu.models import ogive as _og
+
+            w0g, a0g, Cxg, Cxg_inv = jax.jit(
+                lambda x: _og.ogive_init(x, False)
+            )(X)
+            use_mix0 = jnp.zeros((F,), bool)
+            mu_g = jnp.asarray(0.1, jnp.float32)
+            tol_g = jnp.asarray(1e-3, jnp.float32)
+            ep0 = jnp.asarray(0, jnp.int32)
+
+            def run_ogive():
+                w, a, um, ep, done = _og.ogive_iterations(
+                    X, w0g, a0g, use_mix0, Cxg, Cxg_inv, ep0, mu_g, tol_g,
+                    4000, "laplace", "demix", 10,
+                )
+                return w, ep
+
+            out_g = run_ogive()  # warmup
+            _ = sync(out_g[0])
+            best_g, iters_g = np.inf, 0
+            for _ in range(3):
+                t0 = time.perf_counter()
+                w_g, ep_g = run_ogive()
+                iters_g = int(np.asarray(ep_g))
+                best_g = min(best_g, time.perf_counter() - t0)
+            check_finite(w_g)
+            extra["ogive_wall_to_converge_ms"] = round(best_g * 1e3, 1)
+            extra["ogive_iters_done"] = iters_g
+            extra["ogive_it_s"] = round(max(iters_g, 1) / best_g, 1)
 
         with _row("wpe_T512"):
             # ---- WPE dereverb front (extension, ops/wpe.py): full preprocessing

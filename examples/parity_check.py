@@ -50,7 +50,23 @@ if os.environ.get("OVERIVA_FORCE_CPU"):
 
 import overiva_tpu.oracle as oracle
 from overiva_tpu import api
+from overiva_tpu.oracle.ilrma import ilrma as oracle_ilrma
 from overiva_tpu.oracle.ilrma_t import ilrma_t as oracle_ilrma_t
+from overiva_tpu.oracle.wpe import wpe as oracle_wpe
+
+
+def _online_iss_oracle(X, block=25):
+    from overiva_tpu.oracle.online_iss import online_iss_run
+
+    return online_iss_run(X[:, :, :2], block, forget=0.985, n_pass=2)
+
+
+def _online_iss_jax(X, block=25):
+    Xc = X[:, :, :2]
+    sep = api.OnlineAuxIVAISS(n_freq=Xc.shape[1], n_chan=2, forget=0.985,
+                              n_pass=2)
+    outs = [sep.process(Xc[s : s + block]) for s in range(0, Xc.shape[0], block)]
+    return np.concatenate(outs, axis=0)
 from overiva_tpu.metrics import bss_eval_sources
 from overiva_tpu.sim import ShoeBox, circular_mic_array, semi_circle_layout, speech_like
 
@@ -148,6 +164,39 @@ def main(argv=None):
              ),
              lambda X: api.ilrma_t(X[:, :, :2], taps=3, delay=2, n_iter=15,
                                    seed=5)),
+            # ---- round-5 additions: the families VERDICT r4 item 2 found
+            # missing from the hardware instrument (they were CI-gated
+            # only) — now every registry family has a hardware case ----
+            # five and overiva-ip2 carry an INTRINSIC c64 floor like the
+            # gauss family (measured 2026-08-19 on seed 7: c64 vs oracle
+            # 0.16 / 2.86 dB, while c128 vs oracle is 0.0000/0.0000 dB for
+            # both — pure trajectory chaos, zero implementation error; the
+            # IP2 GEVD's 2x2 eigenvector branch and FIVE's whitened power
+            # ordering are discontinuous in rounding). Authoritative gates:
+            # the same-precision CI checks (tests/test_ip2.py /
+            # test_five.py exact-parity + tests/test_integration.py 0.02
+            # dB). PARITY.md "round 5" has the decomposition.
+            ("five N=1 (c64 floor)", lambda X: oracle.five(X, n_iter=10),
+             lambda X: api.five(X, n_iter=10), False),
+            ("ilrma M=N=2",
+             lambda X: oracle_ilrma(X[:, :, :2], n_iter=15, seed=5),
+             lambda X: api.ilrma(X[:, :, :2], n_iter=15, seed=5)),
+            ("overiva-iss M=5,N=2",
+             lambda X: oracle.overiva_iss(X, n_src=2, n_iter=15),
+             lambda X: api.overiva_iss(X, n_src=2, n_iter=15)),
+            ("overiva-ip2 (c64 floor)",
+             lambda X: oracle.overiva_ip2(X, n_src=2, n_iter=8),
+             lambda X: api.overiva_ip2(X, n_src=2, n_iter=8), False),
+            # wpe certified end-to-end through the cascade it fronts
+            ("wpe+overiva M=5,N=2",
+             lambda X: oracle.overiva(
+                 oracle_wpe(X, taps=3, delay=2, n_iter=2), n_src=2, n_iter=15
+             ),
+             lambda X: api.overiva(
+                 api.wpe(X, taps=3, delay=2, n_iter=2), n_src=2, n_iter=15
+             )),
+            ("online-iss M=N=2 (stream)", _online_iss_oracle,
+             _online_iss_jax),
         ]
 
     if args.cases:

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..ops.linalg import PRECISION
 from .overiva import demix
-from .source_models import activations
+from .source_models import activations_from_power, power
 
 __all__ = ["online_iss_init", "online_iss_step"]
 
@@ -47,10 +47,12 @@ def online_iss_init(F: int, M: int, dtype=jnp.complex64):
     }
 
 
-@partial(jax.jit, static_argnames=("model", "n_pass", "ramp"))
+@partial(jax.jit, static_argnames=("model", "n_pass", "ramp", "axis_name",
+                                   "n_freq"))
 def online_iss_step(
     X_blk, state, forget, model: str = "laplace", n_pass: int = 1,
-    ramp: bool = False, pb_forget=None,
+    ramp: bool = False, pb_forget=None, axis_name=None, n_freq=None,
+    bin_mask=None,
 ):
     """Process one STFT block. X_blk: (B, F, M) complex.
 
@@ -83,7 +85,13 @@ def online_iss_step(
 
     for _ in range(n_pass):
         Y = demix(X_blk, W)
-        _, phi = activations(Y, model)  # (B, M)
+        # bin-sharded execution (parallel/sharded.py): the frame power is
+        # the ONE cross-bin quantity per pass — a (B, M) real psum, same
+        # collective budget as the batch _iss_epoch
+        pw = power(Y, bin_mask)
+        if axis_name is not None:
+            pw = jax.lax.psum(pw, axis_name)
+        _, phi = activations_from_power(pw, n_freq or F, model)  # (B, M)
         phif = phi.astype(Y.real.dtype)
         for n in range(M):
             yn = Y[:, :, n]

@@ -110,6 +110,7 @@ def _epoch(
     bin_mask=None,
     chunk_frames=None,
     wcov: str = "f32",
+    xpack=None,
 ):
     """One OverIVA/AuxIVA epoch: weights + N iterative-projection updates.
 
@@ -150,7 +151,12 @@ def _epoch(
     # chunk_frames streams the frame axis (SURVEY.md §5.7): bounds the
     # (K, chunk, F, M) weighted temporary for long recordings AND is the
     # fast form at T >= ~256 (it stops round-tripping HBM — §2c table)
-    Vs = weighted_covariance_all(X, phi, wcov, chunk=chunk_frames)
+    if xpack is not None:  # wcov="bf16pack": loop-hoisted bf16 planes
+        from ..ops.pallas_wcov import wcov_packed
+
+        Vs = wcov_packed(xpack, phi, F, T).astype(X.dtype)
+    else:
+        Vs = weighted_covariance_all(X, phi, wcov, chunk=chunk_frames)
     for k in range(N):  # static unroll — IP updates are order-dependent
         V = Vs[k]  # (F, M, M)
         Vp = to_fminor(V)  # (M, M, F)
@@ -216,13 +222,22 @@ def overiva_iterations(
 
     ``wcov="bf16"`` runs the weighted-covariance contraction (the dominant
     stage) on the MXU in bfloat16 with f32 accumulation — see
-    ``ops.covariance.weighted_covariance_all``."""
+    ``ops.covariance.weighted_covariance_all``. ``wcov="bf16pack"``
+    additionally replaces the XLA contraction with the packed-MXU Pallas
+    single-pass kernel (ops/pallas_wcov.py): the bf16 planes are packed
+    ONCE here (X is loop-constant) and each epoch reads them exactly
+    once — no phi-weighted HBM temporary (DESIGN §2c r5)."""
+    xpack = None
+    if wcov == "bf16pack":
+        from ..ops.pallas_wcov import pack_planes
+
+        xpack = pack_planes(X)
     return lax.fori_loop(
         0,
         n_iter,
         lambda _, W: _epoch(
             X, W, Cx, n_src, model, axis_name, n_freq, bin_mask, chunk_frames,
-            wcov,
+            wcov, xpack,
         ),
         W_hat,
         unroll=False,

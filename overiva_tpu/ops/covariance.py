@@ -16,7 +16,7 @@ from jax import lax
 
 from .linalg import PRECISION
 
-WCOV_MODES = ("f32", "f32x3", "bf16")
+WCOV_MODES = ("f32", "f32x3", "bf16", "bf16pack")
 
 
 def _wcov_precision(wcov: str):
@@ -97,6 +97,16 @@ def weighted_covariance_all(X, phi, wcov: str = "f32", chunk=None):
             body, jnp.zeros((K, F, M, M), X.dtype), (Xc, pc)
         )
         return V / T
+    if wcov == "bf16pack":
+        # packed-MXU Pallas single-pass kernel (ops/pallas_wcov.py): no
+        # HBM phi-weighted temporary, full-width MXU tiles. Inline
+        # packing here; loop callers (models/overiva.py) hoist
+        # pack_planes out of the epoch loop instead (X is loop-constant).
+        from .pallas_wcov import pack_planes, wcov_packed
+
+        return wcov_packed(pack_planes(X), phi, X.shape[1], T).astype(
+            X.dtype
+        )
     if wcov == "bf16":
         xr = X.real.astype(jnp.bfloat16)
         xi = X.imag.astype(jnp.bfloat16)

@@ -14,6 +14,7 @@ from .sparseauxiva import sparseauxiva
 from .five import five
 from .models import EPS, MODELS, activations
 from .ogive import ogive
+from .online_iss import online_iss_run
 from .overiva import overiva
 from .overiva_ip2 import auxiva_ip2, overiva_ip2
 from .overiva_iss import overiva_iss
@@ -39,6 +40,7 @@ __all__ = [
     "five",
     "hann",
     "ogive",
+    "online_iss_run",
     "overiva",
     "overiva_ip2",
     "overiva_iss",

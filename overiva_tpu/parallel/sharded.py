@@ -60,6 +60,7 @@ __all__ = [
     "sharded_tip",
     "sharded_tiss",
     "sharded_wpe",
+    "sharded_online_iss",
 ]
 
 
@@ -1286,5 +1287,95 @@ def sharded_wpe(
         X_batch = jnp.concatenate([X_batch, reps], axis=2)
     Y = _sharded_wpe_padded(
         X_batch, mesh, int(taps), int(delay), int(n_iter), float(diag_load)
+    )
+    return Y[:, :, :F, :]
+
+
+# ---------------------------------------------------------------- streaming
+
+def _online_iss_one(X, bin_mask, block, forget, model, n_pass, n_freq_total,
+                    pb_forget):
+    """Per-shard, per-stream online ISS over the local bin slice: a
+    lax.scan over fixed-size blocks carrying the streaming state, with
+    the per-pass (B, M) power psum as the ONE cross-bin collective (the
+    same budget as the batch _iss_epoch)."""
+    from ..models.online_iss import online_iss_init, online_iss_step
+
+    T, Fl, M = X.shape
+    state = online_iss_init(Fl, M, X.dtype)
+    # constant init must carry the same varying-axes type as the scan body
+    state = {k: jax.lax.pcast(v, (AXIS_MIX, AXIS_BINS), to="varying")
+             for k, v in state.items()}
+    Xb = X.reshape(T // block, block, Fl, M)
+
+    def step(st, xb):
+        Y, st = online_iss_step(
+            xb, st, forget, model, n_pass, pb_forget=pb_forget,
+            axis_name=AXIS_BINS, n_freq=n_freq_total, bin_mask=bin_mask,
+        )
+        return st, Y
+
+    _, Ys = jax.lax.scan(step, state, Xb)
+    return Ys.reshape(T, Fl, M)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "block", "model", "n_pass", "n_freq_total"),
+)
+def _sharded_online_iss_padded(
+    X, bin_mask, forget, pb_forget, mesh, block, model, n_pass, n_freq_total
+):
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(AXIS_MIX, None, AXIS_BINS, None), P(AXIS_BINS)),
+        out_specs=P(AXIS_MIX, None, AXIS_BINS, None),
+    )
+    def run(Xl, maskl):
+        sep = lambda x: _online_iss_one(
+            x, maskl, block, forget, model, n_pass, n_freq_total, pb_forget
+        )
+        return jax.vmap(sep)(Xl)
+
+    return run(X, bin_mask)
+
+
+def sharded_online_iss(
+    mesh,
+    X_batch,
+    block: int,
+    forget: float = 0.97,
+    model: str = "laplace",
+    n_pass: int = 1,
+    pb_forget: float | None = None,
+):
+    """Streaming (online) AuxIVA-ISS over the mesh: a batch of B parallel
+    streams data-parallel on the 'mix' axis AND bin-sharded on 'bins',
+    processed block-wise with exponentially-forgotten statistics.
+
+    X_batch: (B, T, F, M) complex with T divisible by ``block``; returns
+    (B, T, F, M) — per-stream results match feeding the same blocks
+    through ``api.OnlineAuxIVAISS`` / the NumPy oracle
+    (``oracle/online_iss.py``). The scan carries the streaming state
+    entirely on device; each pass costs ONE (block, M) psum across bins.
+    """
+    B, T, F, M = X_batch.shape
+    if T % int(block) != 0:
+        raise ValueError(f"stream length {T} not divisible by block {block}")
+    n_mix = mesh.shape[AXIS_MIX]
+    n_bins = mesh.shape[AXIS_BINS]
+    if B % n_mix != 0:
+        raise ValueError(f"batch {B} not divisible by mix axis {n_mix}")
+    F_pad, mask = pad_bins(F, n_bins)
+    if F_pad != F:
+        reps = jnp.repeat(X_batch[:, :, -1:, :], F_pad - F, axis=2)
+        X_batch = jnp.concatenate([X_batch, reps], axis=2)
+    rdt = jnp.finfo(X_batch.dtype).dtype
+    fj = jnp.asarray(forget, rdt)
+    pbj = fj if pb_forget is None else jnp.asarray(pb_forget, rdt)
+    Y = _sharded_online_iss_padded(
+        X_batch, jnp.asarray(mask), fj, pbj, mesh, int(block), model,
+        int(n_pass), int(F),
     )
     return Y[:, :, :F, :]

@@ -11,8 +11,14 @@ Design: pad the waveform so the STFT lands on a geometric grid of frame
 counts (~``bucket_ratio``-spaced, so padding overhead is bounded by
 ``bucket_ratio - 1`` and the number of executables is logarithmic in the
 clip-length range), zero every frame past the clip's own, and run the
-algorithm on the bucketed tensor. Correctness rests on an algebraic
-property of the IP/ISS family, not on approximation:
+algorithm on the bucketed tensor. The whole clip path is ONE fused XLA
+program per (bucket, n_chan): STFT analysis, on-device zeroing of the
+padded frames (the pad count ``t_pad`` is a TRACED scalar, so every clip
+length within a bucket hits the same executable), the algorithm epochs,
+projection back, and iSTFT. Only the real waveform crosses the host
+boundary — once in, once out (the axon backend cannot transfer complex
+anyway; see README). Correctness rests on an algebraic property of the
+IP/ISS family, not on approximation:
 
 - an all-zero frame contributes nothing to any data statistic — the
   per-frame power and every weighted covariance carry an ``|x|^2``
@@ -24,6 +30,11 @@ property of the IP/ISS family, not on approximation:
   each epoch, so the padded trajectory stays a per-source scalar multiple
   of the unpadded one, and projection back (which rescales each source
   against the UNPADDED reference channel) cancels that scalar exactly.
+
+Moving the frame zeroing inside the jit changes nothing in that
+argument: the masked frames are exactly zero either way
+(``tests/test_serving.py::test_padding_invariance`` gates the fused
+program against the unpadded registry pipeline per family).
 
 Padding is PREPENDED, which extends exactness to the tap-augmented joint
 family (tiss/tip): delayed copies of leading zero frames are themselves
@@ -38,21 +49,27 @@ updates — and sparseauxiva's LASSO threshold is scale-absolute.
 ``SERVABLE`` lists the algorithms whose invariance is gated by
 ``tests/test_serving.py``; anything else requires
 ``allow_unverified=True`` (results are then merely plausible, not
-bit-matched to the unpadded run).
+bit-matched to the unpadded run, and run through the slower
+host-boundary path since they have no fused branch).
 """
 
 from __future__ import annotations
 
 import math
 from collections import Counter
+from functools import partial
 
 import numpy as np
+
+import jax
+import jax.numpy as jnp
 
 from . import api
 from .oracle.stft import stft_pad
 from .registry import ALGORITHMS, get_algorithm
+from .utils.packing import real_dtype_of
 
-__all__ = ["SERVABLE", "Separator", "bucket_frames"]
+__all__ = ["SERVABLE", "Separator", "StreamingSeparator", "bucket_frames"]
 
 # Padding-invariance of every name here is asserted against the unpadded
 # pipeline by tests/test_serving.py::test_padding_invariance. Keep the two
@@ -81,6 +98,30 @@ SERVABLE = (
     "tip-gauss",
 )
 
+# registry name -> (fused branch, default model). Every SERVABLE family has
+# a branch in _spectral below; the two tables are asserted in sync by
+# tests/test_serving.py. "pca" resolves to pca_ip / pca_iss from the
+# ``inner`` kwarg at Separator construction.
+_FUSED_BRANCH = {
+    "auxiva": ("ip", "laplace"),
+    "auxiva-gauss": ("ip", "gauss"),
+    "auxiva-iss": ("iss", "laplace"),
+    "auxiva-iss-gauss": ("iss", "gauss"),
+    "overiva": ("ip", "laplace"),
+    "overiva-gauss": ("ip", "gauss"),
+    "overiva-iss": ("iss", "laplace"),
+    "overiva-iss-gauss": ("iss", "gauss"),
+    "overiva-ip2": ("ip2", "laplace"),
+    "overiva-ip2-gauss": ("ip2", "gauss"),
+    "auxiva_pca": ("pca", "laplace"),
+    "auxiva_pca-iss": ("pca", "laplace"),
+    "five": ("five", "laplace"),
+    "tiss": ("tiss", "laplace"),
+    "tiss-gauss": ("tiss", "gauss"),
+    "tip": ("tip", "laplace"),
+    "tip-gauss": ("tip", "gauss"),
+}
+
 
 def bucket_frames(
     n_frames: int,
@@ -103,6 +144,254 @@ def bucket_frames(
     return b
 
 
+# ------------------------------------------------------- the fused program
+
+def _spectral(X, n_src, n_iter, model, branch, taps, delay, warm_iter, wcov):
+    """Masked STFT in -> projected sources out, trace-side.
+
+    Each branch replicates its registry runner's exact trajectory (same
+    init, same iteration kernels, same finalize) so the serving tier is
+    bit-matched — modulo XLA fusion reassociation — to the host-boundary
+    pipeline the invariance test compares against.
+    """
+    from .models.auxiva_iss import auxiva_iss_iterations
+    from .models.auxiva_pca import pca as _pca_run
+    from .models.five import five_demix, five_iterations, five_whiten
+    from .models.overiva import demix, init_w_hat, overiva_iterations
+    from .models.overiva_ip2 import overiva_ip2_iterations
+    from .models.tip import tip_iterations
+    from .models.tiss import augment_taps, augmented_eye, tiss_iterations
+    from .ops.covariance import covariance
+    from .ops.projection import apply_projection_back
+
+    T, F, M = X.shape
+    N = M if n_src is None else int(n_src)
+    if branch in ("ip", "ip2"):
+        # same init as api._prepare with W0=None, init_eig=False
+        Cx = covariance(X) if N < M else jnp.zeros((F, M, M), X.dtype)
+        W_hat = init_w_hat(X, N, False, Cx=Cx, W0=None)
+        iterate = overiva_iterations if branch == "ip" else overiva_ip2_iterations
+        W_hat = iterate(X, W_hat, Cx, N, n_iter, model, wcov=wcov)
+        Y = demix(X, W_hat[:, :N, :])
+    elif branch == "iss":
+        W = jnp.broadcast_to(jnp.eye(M, dtype=X.dtype), (F, M, M))
+        _, Y = auxiva_iss_iterations(X, W, n_iter, model, n_src=N)
+        Y = Y[:, :, :N]
+    elif branch in ("pca_ip", "pca_iss"):
+        Xr = _pca_run(X, N) if N < M else X
+        if branch == "pca_ip":
+            Cz = jnp.zeros((F, N, N), X.dtype)
+            W = init_w_hat(Xr, N, False, Cx=Cz, W0=None)
+            W = overiva_iterations(Xr, W, Cz, N, n_iter, model)
+            Y = demix(Xr, W[:, :N, :])
+        else:
+            W = jnp.broadcast_to(jnp.eye(N, dtype=X.dtype), (Xr.shape[1], N, N))
+            _, Y = auxiva_iss_iterations(Xr, W, n_iter, model)
+    elif branch == "five":
+        Xw, _ = five_whiten(X)
+        w = jnp.zeros((F, M), X.dtype).at[:, 0].set(1.0)
+        w = five_iterations(Xw, w, n_iter, model)
+        Y = five_demix(Xw, w)[:, :, None]
+    elif branch in ("tiss", "tip"):
+        Xt = augment_taps(X, taps, delay)
+        P = augmented_eye(Xt, M)
+        if branch == "tiss":
+            P, Y = tiss_iterations(Xt, P, n_iter, model, M, n_src=N)
+            Y = Y[:, :, :N]
+        else:
+            if warm_iter > 0 and taps > 0:  # api.tip's built-in warm start
+                P, _ = tiss_iterations(Xt, P, warm_iter, model, M, n_src=N)
+            P = tip_iterations(Xt, P, n_iter, model, M, n_src=N, wcov=wcov)
+            Y = demix(Xt, P)[:, :, :N]
+    else:
+        raise ValueError(f"unknown fused branch {branch!r}")
+    # projection back against the ORIGINAL (masked) reference channel —
+    # this is what cancels the bucket-dependent covariance scale
+    return apply_projection_back(Y, X[:, :, 0])
+
+
+def _masked_clip(x, t_pad, nfft, hop, cfg):
+    X = api._stft.analysis(x, nfft, hop)
+    keep = jnp.arange(X.shape[0]) >= t_pad
+    # the last prepended frames straddle the padding/real boundary (hop
+    # overlap) — zero them so padded frames are EXACTLY zero, which is
+    # what the invariance argument needs
+    X = jnp.where(keep[:, None, None], X, jnp.zeros((), X.dtype))
+    Y = _spectral(X, **cfg)
+    return api._stft.synthesis(Y, nfft, hop)
+
+
+_STATIC = (
+    "nfft", "hop", "n_src", "n_iter", "model", "branch", "taps", "delay",
+    "warm_iter", "wcov",
+)
+
+
+@partial(jax.jit, static_argnames=_STATIC)
+def _serve_time_jit(x, t_pad, nfft, hop, n_src, n_iter, model, branch,
+                    taps, delay, warm_iter, wcov):
+    """(n_bucket_samples, M) real + traced pad count -> (n, n_out) real.
+
+    ONE executable per (bucket, n_chan, config): analysis, frame zeroing,
+    epochs, projection back, synthesis — zero host round-trips.
+    """
+    cfg = dict(n_src=n_src, n_iter=n_iter, model=model, branch=branch,
+               taps=taps, delay=delay, warm_iter=warm_iter, wcov=wcov)
+    return _masked_clip(x, t_pad, nfft, hop, cfg)
+
+
+@partial(jax.jit, static_argnames=_STATIC)
+def _serve_time_batch_jit(x, t_pad, nfft, hop, n_src, n_iter, model, branch,
+                          taps, delay, warm_iter, wcov):
+    """(B, n_bucket_samples, M) + per-clip pad counts -> (B, n, n_out).
+
+    vmap of the exact single-clip program, so batched results match the
+    per-clip path element-wise (gated by tests/test_serving.py) while the
+    whole bucket pays one dispatch.
+    """
+    cfg = dict(n_src=n_src, n_iter=n_iter, model=model, branch=branch,
+               taps=taps, delay=delay, warm_iter=warm_iter, wcov=wcov)
+    return jax.vmap(
+        lambda xb, tp: _masked_clip(xb, tp, nfft, hop, cfg)
+    )(x, t_pad)
+
+
+_STREAM_STATIC = ("nfft", "hop", "algo", "model", "n_pass", "taps", "delay",
+                  "tap_update")
+
+
+@partial(jax.jit, static_argnames=_STREAM_STATIC)
+def _stream_step_jit(x_blk, tail, carry, state, forget, pb_forget, tap_forget,
+                     nfft, hop, algo, model, n_pass, taps, delay, tap_update):
+    """One streaming block, fully fused: framing + analysis + online
+    epoch(s) + synthesis + overlap-add, with every piece of state
+    (demixing statistics, the nfft-hop input tail, the nfft-hop OLA
+    carry) device-resident. Only real sample blocks cross the host
+    boundary — the streaming analog of _serve_time_jit."""
+    from .models.online_iss import online_iss_step
+    from .models.online_tiss import online_tiss_step
+
+    B_hop = x_blk.shape[0]  # block_frames * hop samples
+    x = jnp.concatenate([tail, x_blk], axis=0)
+    X = api._stft.analysis(x, nfft, hop)  # (block_frames, F, M)
+    if algo == "online-iss":
+        Y, state = online_iss_step(X, state, forget, model, n_pass,
+                                   pb_forget=pb_forget)
+    else:  # online-tiss
+        Y, state = online_tiss_step(X, state, forget, taps, delay, model,
+                                    n_pass, pb_forget=pb_forget,
+                                    tap_update=tap_update,
+                                    tap_forget=tap_forget)
+    y = api._stft.synthesis(Y, nfft, hop)  # (B_hop + nfft - hop, M)
+    emit = y[:B_hop].at[: nfft - hop].add(carry)
+    new_carry = y[B_hop:]
+    new_tail = x[B_hop:]
+    return emit, new_tail, new_carry, state
+
+
+class StreamingSeparator:
+    """Streaming serving surface: time-domain sample blocks in, separated
+    sample blocks out, ONE fused XLA executable per stream configuration.
+
+    Wraps the online separation cores (``models/online_iss.py`` /
+    ``models/online_tiss.py``) with device-resident STFT framing and
+    weighted overlap-add, so a realtime caller never touches STFT frames
+    and never pays more than one dispatch + two real sample transfers per
+    block. The block shape is FIXED by construction (``block_frames *
+    hop`` samples per call) — the static-shape story is what makes this a
+    single warm executable, the same design constraint that shaped the
+    bucketed clip path above (SURVEY.md §5.7; extension beyond the
+    reference, which has no streaming surface).
+
+        sep = StreamingSeparator("online-iss", n_chan=4, nfft=512)
+        for blk in stream:              # (block_frames*hop, n_chan) float
+            y = sep.process(blk)        # same shape out (M channels)
+
+    Output is delayed by ``nfft - hop`` samples relative to the input
+    (the overlap-add tail of each synthesis window is held back until the
+    next block completes it); ``flush()`` drains that tail at stream end.
+    The emitted samples equal running the STFT-domain online class over
+    the same frames and synthesizing the concatenated stream
+    (tests/test_serving.py::test_streaming_matches_offline_synthesis).
+
+    ``algo``: "online-iss" (rank-1 streaming separation) or "online-tiss"
+    (joint streaming dereverberation + separation; ``taps``/``delay``).
+    """
+
+    def __init__(self, algo="online-iss", n_chan=2, nfft=512, hop=None,
+                 block_frames=8, forget=0.97, model="laplace", n_pass=1,
+                 taps=4, delay=2, tap_update="solve", pb_forget=None,
+                 tap_forget=None, dtype=None):
+        from .models.online_iss import online_iss_init
+        from .models.online_tiss import online_tiss_init
+
+        if algo not in ("online-iss", "online-tiss"):
+            raise ValueError(
+                f"unknown streaming algo {algo!r}; use 'online-iss' or "
+                "'online-tiss'"
+            )
+        self.algo = algo
+        self.nfft = int(nfft)
+        self.hop = int(hop or nfft // 2)
+        self.block_frames = int(block_frames)
+        self.n_chan = int(n_chan)
+        self.block_samples = self.block_frames * self.hop
+        if self.block_samples < self.nfft - self.hop:
+            raise ValueError(
+                "block_frames * hop must be >= nfft - hop (the emitted "
+                "block must cover the overlap-add carry)"
+            )
+        cdtype = np.dtype(dtype or api.DEFAULT_DTYPE)
+        rdtype = real_dtype_of(cdtype)
+        self._rdtype = rdtype
+        jdtype = jnp.complex64 if cdtype == np.complex64 else jnp.complex128
+        F = self.nfft // 2 + 1
+        if algo == "online-iss":
+            self.state = online_iss_init(F, self.n_chan, jdtype)
+            taps = 0
+        else:
+            self.state = online_tiss_init(F, self.n_chan, int(taps),
+                                          int(delay), tap_update, jdtype)
+        self._static = dict(
+            nfft=self.nfft, hop=self.hop, algo=algo, model=str(model),
+            n_pass=int(n_pass), taps=int(taps), delay=int(delay),
+            tap_update=str(tap_update),
+        )
+        self.forget = jnp.asarray(forget, rdtype)
+        self.pb_forget = (
+            self.forget if pb_forget is None else jnp.asarray(pb_forget, rdtype)
+        )
+        self.tap_forget = (
+            self.forget if tap_forget is None else jnp.asarray(tap_forget, rdtype)
+        )
+        # tail primed with zeros = the stft_pad front padding, so frame 0
+        # of the stream matches frame 0 of the offline pipeline
+        self.tail = jnp.zeros((self.nfft - self.hop, self.n_chan), rdtype)
+        self.carry = jnp.zeros((self.nfft - self.hop, self.n_chan), rdtype)
+
+    def process(self, x_blk: np.ndarray) -> np.ndarray:
+        """(block_frames*hop, n_chan) float -> same-shape separated block
+        (delayed by nfft - hop samples; see class docstring)."""
+        x_blk = np.asarray(x_blk)
+        if x_blk.shape != (self.block_samples, self.n_chan):
+            raise ValueError(
+                f"block must be ({self.block_samples}, {self.n_chan}) "
+                f"(block_frames*hop samples), got {x_blk.shape}"
+            )
+        emit, self.tail, self.carry, self.state = _stream_step_jit(
+            jnp.asarray(x_blk.astype(self._rdtype)), self.tail, self.carry,
+            self.state, self.forget, self.pb_forget, self.tap_forget,
+            **self._static,
+        )
+        return np.asarray(emit)
+
+    def flush(self) -> np.ndarray:
+        """Drain the held-back OLA tail (nfft - hop samples) at stream end."""
+        out = np.asarray(self.carry)
+        self.carry = jnp.zeros_like(self.carry)
+        return out
+
+
 class Separator:
     """Fixed-configuration separator for variable-length clips.
 
@@ -114,18 +403,32 @@ class Separator:
         y = sep.separate(x)          # x: (n_samples, n_chan) float
         # y: (n_samples, n_src) — same samples the unpadded pipeline yields
 
-    ``algo_kwargs`` are forwarded to the registry runner on every clip
-    (n_iter, model, wcov, ...). ``proj_back=False`` is rejected: projection
-    back is what cancels the bucket-dependent global scale (module
-    docstring) — without it outputs would differ from the unpadded run by
-    a per-source scalar.
+    ``algo_kwargs`` are forwarded to the algorithm on every clip (n_iter,
+    model, wcov, ...). ``proj_back=False`` is rejected: projection back is
+    what cancels the bucket-dependent global scale (module docstring) —
+    without it outputs would differ from the unpadded run by a per-source
+    scalar.
 
-    Relationship to :func:`overiva_tpu.api.separate` (the one-XLA-program
-    samples-to-samples path): that path is fastest for a FIXED clip shape;
-    this class trades two extra host<->device transfers per clip for the
-    explicit post-analysis frame zeroing that makes bucketed results
-    exactly equal the unpadded pipeline's on every clip length.
+    Every SERVABLE family runs as ONE fused samples-to-samples XLA program
+    per (bucket, n_chan) — the pad count is a traced argument, so all clip
+    lengths within a bucket share the executable, and only real waveforms
+    cross the host boundary. Kwargs outside the fused program's static
+    surface (callback, W0, return_filters, chunk_frames, acc, ...) and
+    ``allow_unverified`` algorithms fall back to a host-boundary path that
+    routes through the registry runner (several extra transfers per clip).
     """
+
+    # kwargs each fused branch accepts (beyond n_iter/model, always taken)
+    _BRANCH_KW = {
+        "ip": {"wcov"},
+        "ip2": {"wcov"},
+        "iss": set(),
+        "pca_ip": set(),
+        "pca_iss": set(),
+        "five": set(),
+        "tiss": {"taps", "delay"},
+        "tip": {"taps", "delay", "warm_iter", "wcov"},
+    }
 
     def __init__(
         self,
@@ -164,12 +467,47 @@ class Separator:
         self.bucket_ratio = float(bucket_ratio)
         self.bucket_multiple = int(bucket_multiple)
         self.algo_kwargs = dict(algo_kwargs)
+        self._fused = self._fused_config()
         self.stats = {
             "clips": 0,
             "frames_real": 0,
             "frames_padded": 0,
             "bucket_hits": Counter(),
         }
+
+    def _fused_config(self) -> dict | None:
+        """Static config for the fused program, or None -> host fallback."""
+        ent = _FUSED_BRANCH.get(self.algo)
+        if ent is None:
+            return None
+        branch, model = ent
+        params = {**self.spec.defaults, **self.algo_kwargs}
+        params.pop("proj_back", None)  # always True here (checked above)
+        if branch == "pca":
+            inner = params.pop("inner", "ip")
+            if inner not in ("ip", "iss"):
+                return None
+            branch = f"pca_{inner}"
+        allowed = self._BRANCH_KW[branch]
+        cfg = dict(
+            branch=branch,
+            model=str(params.pop("model", model)),
+            n_iter=int(params.pop("n_iter", 20)),
+            taps=int(params.pop("taps", 0)) if "taps" in allowed else 0,
+            delay=int(params.pop("delay", 2)) if "delay" in allowed else 2,
+            warm_iter=(
+                int(params.pop("warm_iter", 0)) if "warm_iter" in allowed else 0
+            ),
+            wcov=str(params.pop("wcov", "f32")) if "wcov" in allowed else "f32",
+        )
+        if params:  # kwargs outside the fused static surface -> host path
+            return None
+        return cfg
+
+    @property
+    def fused(self) -> bool:
+        """Whether clips run through the one-program device-resident path."""
+        return self._fused is not None
 
     # -- bucket plumbing ---------------------------------------------------
 
@@ -181,6 +519,27 @@ class Separator:
     def n_buckets(self) -> int:
         """Distinct (frame-bucket, n_chan) shapes seen so far."""
         return len(self.stats["bucket_hits"])
+
+    def _rdtype(self):
+        return real_dtype_of(np.dtype(self.dtype or api.DEFAULT_DTYPE))
+
+    def _prep_clip(self, x: np.ndarray):
+        """(samples, M) -> (padded xp, t_real, t_bucket, t_pad, n_bucket)."""
+        xp = stft_pad(x, self.nfft, self.hop)  # front zeros + completion
+        t_real = (xp.shape[0] - self.nfft) // self.hop + 1
+        t_bucket = self._bucket(t_real)
+        t_pad = t_bucket - t_real
+        # padding goes at the FRONT (module docstring: tap exactness). The
+        # +hop-1 tail fixes the per-bucket sample count when hop does not
+        # divide nfft (analysis ignores samples past the last frame).
+        n_bucket = (t_bucket - 1) * self.hop + self.nfft + (self.hop - 1)
+        return xp, t_real, t_bucket, t_pad, n_bucket
+
+    def _count(self, t_real: int, t_pad: int, n_chan: int) -> None:
+        self.stats["clips"] += 1
+        self.stats["frames_real"] += t_real
+        self.stats["frames_padded"] += t_pad
+        self.stats["bucket_hits"][(t_pad + t_real, n_chan)] += 1
 
     # -- the clip path -----------------------------------------------------
 
@@ -197,31 +556,33 @@ class Separator:
         if x.ndim != 2:
             raise ValueError(f"expected (n_samples, n_chan), got {x.shape}")
         n, n_chan = x.shape
-        nfft, hop = self.nfft, self.hop
-        front = nfft - hop
+        xp, t_real, t_bucket, t_pad, n_bucket = self._prep_clip(x)
+        if self._fused is None:
+            y = self._separate_host(xp, t_pad, t_bucket, n_bucket, n_chan)
+        else:
+            xb = np.zeros((n_bucket, n_chan), dtype=self._rdtype())
+            xb[t_pad * self.hop : t_pad * self.hop + xp.shape[0]] = xp
+            y = np.asarray(
+                _serve_time_jit(
+                    jnp.asarray(xb), jnp.asarray(np.int32(t_pad)),
+                    nfft=self.nfft, hop=self.hop, n_src=self.n_src,
+                    **self._fused,
+                )
+            )
+        if y.ndim == 1:
+            y = y[:, None]
+        self._count(t_real, t_pad, n_chan)
+        start = t_pad * self.hop + (self.nfft - self.hop)
+        return y[start : start + n]
 
-        xp = stft_pad(x, nfft, hop)  # front zeros + frame completion
-        t_real = (xp.shape[0] - nfft) // hop + 1
-        t_bucket = self._bucket(t_real)
-        t_pad = t_bucket - t_real
-        # padding goes at the FRONT: a tap-augmented frame (tiss/tip)
-        # stacks DELAYED copies, so leading zero frames stay zero in every
-        # tap block, and the first real frames' taps reach back into zeros
-        # exactly like the unpadded run's zero-fill — appended padding
-        # would put real data in the padded frames' tap blocks and break
-        # exactness for the joint family. The +hop-1 tail fixes the
-        # per-bucket sample count when hop does not divide nfft (analysis
-        # ignores samples past the last frame).
-        n_bucket = (t_bucket - 1) * hop + nfft + (hop - 1)
+    def _separate_host(self, xp, t_pad, t_bucket, n_bucket, n_chan):
+        """Host-boundary fallback (allow_unverified algorithms / kwargs the
+        fused program cannot take): explicit post-analysis frame zeroing,
+        registry runner in the middle — several transfers per clip."""
         xb = np.zeros((n_bucket, n_chan), dtype=xp.dtype)
-        xb[t_pad * hop : t_pad * hop + xp.shape[0]] = xp
-
-        X = api.stft_analysis(xb, nfft, hop, dtype=self.dtype)
-        # the last prepended frames straddle the padding/real boundary
-        # (hop overlap) — zero them so padding frames are EXACTLY zero,
-        # which is what the invariance argument needs
+        xb[t_pad * self.hop : t_pad * self.hop + xp.shape[0]] = xp
+        X = api.stft_analysis(xb, self.nfft, self.hop, dtype=self.dtype)
         X[:t_pad] = 0.0
-
         kw = dict(self.algo_kwargs)
         if self.dtype is not None:
             kw.setdefault("dtype", self.dtype)
@@ -230,73 +591,84 @@ class Separator:
             Y = Y[0]
         if Y.ndim == 2:  # single-output extractors return (T, F)
             Y = Y[:, :, None]
-        y = api.stft_synthesis(Y, nfft, hop, dtype=self.dtype)
-        if y.ndim == 1:
-            y = y[:, None]
-
-        self.stats["clips"] += 1
-        self.stats["frames_real"] += t_real
-        self.stats["frames_padded"] += t_pad
-        self.stats["bucket_hits"][(t_bucket, n_chan)] += 1
-        start = t_pad * hop + front
-        return y[start : start + n]
+        return api.stft_synthesis(Y, self.nfft, self.hop, dtype=self.dtype)
 
     def separate_batch(self, clips) -> list[np.ndarray]:
         """Separate a sequence of clips, fusing same-bucket clips.
 
         Clips are grouped by (frame bucket, n_chan); each group runs as
-        ONE fused XLA program through the family's batched runner
-        (``registry`` ``run_batch`` — gated elsewhere to match per-clip
-        runs element-wise), so a traffic mix of similar lengths pays one
-        dispatch per bucket instead of one per clip. Returns outputs in
-        input order. ``algo_kwargs`` must be ones the family's batch
-        runner accepts (no callbacks).
+        ONE fused XLA program (vmap of the identical single-clip program,
+        per-clip traced pad counts), so a traffic mix of similar lengths
+        pays one dispatch per bucket instead of one per clip. Returns
+        outputs in input order. Without a fused branch, groups route
+        through the family's registry ``run_batch``.
         """
         clips = [np.asarray(c) for c in clips]
         clips = [c[:, None] if c.ndim == 1 else c for c in clips]
-        nfft, hop = self.nfft, self.hop
-        front = nfft - hop
-        kw = dict(self.algo_kwargs)
-        if self.dtype is not None:
-            kw.setdefault("dtype", self.dtype)
+        hop = self.hop
+        front = self.nfft - hop
 
         groups: dict[tuple[int, int], list[int]] = {}
         prepped = []
         for i, x in enumerate(clips):
             if x.ndim != 2:
                 raise ValueError(f"clip {i}: expected (n_samples, n_chan)")
-            xp = stft_pad(x, nfft, hop)
-            t_real = (xp.shape[0] - nfft) // hop + 1
-            t_bucket = self._bucket(t_real)
-            prepped.append((xp, t_real, t_bucket))
+            xp, t_real, t_bucket, t_pad, n_bucket = self._prep_clip(x)
+            prepped.append((xp, t_real, t_bucket, t_pad, n_bucket))
             groups.setdefault((t_bucket, x.shape[1]), []).append(i)
 
         out: list[np.ndarray | None] = [None] * len(clips)
         for (t_bucket, n_chan), idxs in groups.items():
-            n_bucket = (t_bucket - 1) * hop + nfft + (hop - 1)
-            xb = np.zeros((len(idxs), n_bucket, n_chan))
+            n_bucket = prepped[idxs[0]][4]
+            if self._fused is None:
+                ys = self._separate_batch_host(
+                    [prepped[i] for i in idxs], t_bucket, n_bucket, n_chan
+                )
+            else:
+                xb = np.zeros(
+                    (len(idxs), n_bucket, n_chan), dtype=self._rdtype()
+                )
+                t_pads = np.empty((len(idxs),), np.int32)
+                for b, i in enumerate(idxs):
+                    xp, _, _, t_pad, _ = prepped[i]
+                    xb[b, t_pad * hop : t_pad * hop + xp.shape[0]] = xp
+                    t_pads[b] = t_pad
+                ys = np.asarray(
+                    _serve_time_batch_jit(
+                        jnp.asarray(xb), jnp.asarray(t_pads),
+                        nfft=self.nfft, hop=hop, n_src=self.n_src,
+                        **self._fused,
+                    )
+                )
+                if ys.ndim == 2:
+                    ys = ys[:, :, None]
             for b, i in enumerate(idxs):
-                xp, t_real, _ = prepped[i]
-                t_pad = t_bucket - t_real
-                xb[b, t_pad * hop : t_pad * hop + xp.shape[0]] = xp
-            X = api.stft_analysis_batch(xb, nfft, hop, dtype=self.dtype)
-            for b, i in enumerate(idxs):
-                X[b, : t_bucket - prepped[i][1]] = 0.0
-            Y = self.spec.run_batch(X, n_src=self.n_src, **kw)
-            if Y.ndim == 3:  # single-output extractors return (B, T, F)
-                Y = Y[:, :, :, None]
-            y = api.stft_synthesis_batch(Y, nfft, hop, dtype=self.dtype)
-            for b, i in enumerate(idxs):
-                _, t_real, _ = prepped[i]
-                t_pad = t_bucket - t_real
+                _, t_real, _, t_pad, _ = prepped[i]
                 start = t_pad * hop + front
                 n = clips[i].shape[0]
-                out[i] = y[b, start : start + n]
-                self.stats["clips"] += 1
-                self.stats["frames_real"] += t_real
-                self.stats["frames_padded"] += t_pad
-                self.stats["bucket_hits"][(t_bucket, n_chan)] += 1
+                out[i] = ys[b, start : start + n]
+                self._count(t_real, t_pad, n_chan)
         return out
+
+    def _separate_batch_host(self, group, t_bucket, n_bucket, n_chan):
+        """Host-boundary batched fallback through the registry run_batch."""
+        hop = self.hop
+        kw = dict(self.algo_kwargs)
+        if self.dtype is not None:
+            kw.setdefault("dtype", self.dtype)
+        xb = np.zeros(
+            (len(group), n_bucket, n_chan),
+            dtype=np.result_type(*(xp.dtype for xp, *_ in group)),
+        )
+        for b, (xp, _, _, t_pad, _) in enumerate(group):
+            xb[b, t_pad * hop : t_pad * hop + xp.shape[0]] = xp
+        X = api.stft_analysis_batch(xb, self.nfft, hop, dtype=self.dtype)
+        for b, (_, t_real, _, _, _) in enumerate(group):
+            X[b, : t_bucket - t_real] = 0.0
+        Y = self.spec.run_batch(X, n_src=self.n_src, **kw)
+        if Y.ndim == 3:  # single-output extractors return (B, T, F)
+            Y = Y[:, :, :, None]
+        return api.stft_synthesis_batch(Y, self.nfft, hop, dtype=self.dtype)
 
     def _t_real_of(self, n_samples: int) -> int:
         """Frame count the clip path produces for an ``n_samples`` clip."""

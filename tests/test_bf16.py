@@ -78,3 +78,24 @@ def test_wcov_validation():
         api.overiva(X, n_src=2, wcov="f16")
     with pytest.raises(ValueError):
         api.overiva_ip2(X, n_src=2, wcov="fast")
+
+
+def test_bf16pack_quality_parity(rng):
+    """wcov="bf16pack" (packed-MXU Pallas single-pass kernel, interpret
+    mode on CPU) through the full OverIVA pipeline: same quality bound as
+    the XLA bf16 tier it replaces."""
+    mix, premix, _ = make_mixture(
+        rng, n_src=2, n_mics=4, n_samples=24000, n_taps=8, snr_db=25
+    )
+    nfft, hop = 512, 256
+    X = stft_mixture(mix, nfft)
+    ev = BssEvalReferences(premix[:, :, 0])
+    kw = dict(n_src=2, n_iter=15, dtype=np.complex64)
+    sirs = {}
+    for mode in ("f32", "bf16pack"):
+        Y = api.overiva(X, wcov=mode, **kw)
+        y = synthesis(Y, nfft, hop)[nfft - hop :][: mix.shape[0]]
+        _, sir, _, _ = ev.evaluate(y.T)
+        sirs[mode] = sir.mean()
+    assert sirs["f32"] > 6.0, f"f32 baseline failed to separate: {sirs}"
+    assert abs(sirs["bf16pack"] - sirs["f32"]) < 0.3, sirs

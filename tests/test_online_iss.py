@@ -92,3 +92,24 @@ def test_online_converged_quality_vs_batch():
     assert base > 10, base
     assert smoothed > 10, smoothed
     assert ramped > 5, ramped
+
+
+def test_online_iss_matches_numpy_oracle():
+    """Trajectory parity vs the float64 NumPy oracle (oracle/online_iss.py)
+    — the streaming family's anchor for the hardware certification."""
+    from overiva_tpu.oracle.online_iss import online_iss_run
+
+    rng = np.random.default_rng(11)
+    mix, _, _ = make_mixture(rng, n_src=2, n_mics=2, n_samples=24000, snr_db=20)
+    X = stft_mixture(mix, nfft=256)  # (T, 129, 2)
+    B = 16
+    T = (X.shape[0] // B) * B
+    X = X[:T]
+
+    sep = OnlineAuxIVAISS(n_freq=X.shape[1], n_chan=2, forget=0.97,
+                          n_pass=2, pb_forget=0.9995, dtype=np.complex128)
+    got = np.concatenate(
+        [sep.process(X[s : s + B]) for s in range(0, T, B)], axis=0
+    )
+    want = online_iss_run(X, B, forget=0.97, n_pass=2, pb_forget=0.9995)
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)

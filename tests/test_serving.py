@@ -125,6 +125,35 @@ def test_separate_batch_single_output(mixture):
     )
 
 
+@pytest.mark.parametrize("algo", SERVABLE)
+def test_servable_runs_fused(algo):
+    """Every SERVABLE family must take the one-program device-resident
+    path (traced pad count, zero host round-trips) — the serving tier's
+    latency claim is structural, not best-effort."""
+    from overiva_tpu.registry import get_algorithm
+
+    spec = get_algorithm(algo)
+    sep = Separator(algo, n_src=_n_src_for(spec), nfft=NFFT, hop=HOP,
+                    n_iter=2, dtype=CDT)
+    assert sep.fused
+
+
+def test_unsupported_kwargs_fall_back_to_host_path(mixture):
+    """Kwargs outside the fused static surface (here: chunk_frames) must
+    still serve correctly through the host-boundary fallback — and the
+    result must still match the unpadded pipeline."""
+    from overiva_tpu.registry import get_algorithm
+
+    sep = Separator("overiva", n_src=2, nfft=NFFT, hop=HOP, n_iter=4,
+                    dtype=CDT, chunk_frames=16)
+    assert not sep.fused
+    got = sep.separate(mixture)
+    want = _unpadded(get_algorithm("overiva"), mixture, 2, n_iter=4,
+                     dtype=CDT, chunk_frames=16)
+    scale = np.max(np.abs(want))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8 * scale)
+
+
 def test_refuses_non_invariant_families():
     with pytest.raises(ValueError, match="not verified padding-invariant"):
         Separator("ilrma", nfft=NFFT)
@@ -157,3 +186,39 @@ def test_warmup(mixture):
     before = sep.n_buckets()
     sep.separate(mixture)
     assert sep.n_buckets() == before
+
+
+@pytest.mark.parametrize("algo", ["online-iss", "online-tiss"])
+def test_streaming_matches_offline_synthesis(algo, mixture):
+    """StreamingSeparator (fused samples->samples blocks, device-resident
+    OLA/tail/statistics state) must emit exactly what the STFT-domain
+    online class + full offline synthesis of the same frames yields."""
+    from overiva_tpu.api import OnlineAuxIVAISS, OnlineTISS
+    from overiva_tpu.serving import StreamingSeparator
+
+    nfft, hop, bf = NFFT, HOP, 8
+    blk = bf * hop
+    n_blocks = mixture.shape[0] // blk
+    x = mixture[: n_blocks * blk]
+
+    kw = dict(taps=2, delay=1) if algo == "online-tiss" else {}
+    sep = StreamingSeparator(algo, n_chan=3, nfft=nfft, hop=hop,
+                             block_frames=bf, forget=0.97, n_pass=2,
+                             dtype=CDT, **kw)
+    emits = [sep.process(x[i * blk : (i + 1) * blk]) for i in range(n_blocks)]
+    y_stream = np.concatenate(emits + [sep.flush()], axis=0)
+
+    xp = np.concatenate([np.zeros((nfft - hop, 3)), x], axis=0)
+    X = api.stft_analysis(xp, nfft, hop, dtype=CDT)
+    cls = OnlineAuxIVAISS if algo == "online-iss" else OnlineTISS
+    ref = cls(n_freq=X.shape[1], n_chan=3, forget=0.97, n_pass=2,
+              dtype=CDT, **kw)
+    Y = np.concatenate(
+        [ref.process(X[i * bf : (i + 1) * bf]) for i in range(n_blocks)],
+        axis=0,
+    )
+    y_ref = api.stft_synthesis(Y, nfft, hop, dtype=CDT)
+
+    assert y_stream.shape == y_ref.shape
+    scale = max(np.max(np.abs(y_ref)), 1e-12)
+    np.testing.assert_allclose(y_stream, y_ref, rtol=1e-8, atol=1e-10 * scale)

@@ -214,3 +214,28 @@ def test_sharded_wpe_matches_single_device(batch, mesh_shape):
         Yref = api.wpe(batch[b], taps=3, delay=1, n_iter=2,
                        dtype=np.complex128)
         np.testing.assert_allclose(Y[b], Yref, rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+def test_sharded_online_iss_matches_oracle(batch, mesh_shape):
+    """Streaming twin (VERDICT r4 item 4c): B parallel streams, mix-axis
+    data parallel AND bin-sharded, block-scanned state — must match the
+    float64 NumPy oracle stream (oracle/online_iss.py) per element."""
+    from overiva_tpu.oracle.online_iss import online_iss_run
+    from overiva_tpu.parallel.sharded import sharded_online_iss
+
+    assert len(jax.devices()) >= mesh_shape[0] * mesh_shape[1]
+    mesh = make_mesh(
+        *mesh_shape, devices=jax.devices()[: mesh_shape[0] * mesh_shape[1]]
+    )
+    block = 16
+    T = (batch.shape[1] // block) * block
+    Xb = batch[:, :T]
+    Y = np.asarray(
+        sharded_online_iss(
+            mesh, jnp.asarray(Xb), block=block, forget=0.97, n_pass=2
+        )
+    )
+    for b in range(Xb.shape[0]):
+        Yref = online_iss_run(Xb[b], block, forget=0.97, n_pass=2)
+        np.testing.assert_allclose(Y[b], Yref, rtol=1e-6, atol=1e-8)
