@@ -114,7 +114,10 @@ def main():
         return P * (1.0 + eps)
 
     def probe(stage):
-        def epoch(_, P):
+        # Xt enters as a jit ARGUMENT: closure capture would embed the
+        # complex tensor as an mlir constant, which the axon backend
+        # cannot transfer (the no-complex-transfer constraint).
+        def epoch(Xt, _, P):
             Y = demix(Xt, P[:, :N, :])
             pw = power(Y)
             _, phi = activations_from_power(pw, F, "laplace")
@@ -150,13 +153,15 @@ def main():
             return chain(P, acc)
 
         return jax.jit(
-            lambda p: jax.lax.fori_loop(0, EPOCHS, epoch, p)
+            lambda xt, p: jax.lax.fori_loop(
+                0, EPOCHS, lambda i, pp: epoch(xt, i, pp), p
+            )
         )
 
     prev = 0.0
     for stage in ("demix+phi", "wcov", "schur", "solve", "norm"):
         fn = probe(stage)
-        t = timed(lambda: fn(P1))
+        t = timed(lambda: fn(Xt, P1))
         print(f"  +{stage:10s}: {t*1e3:8.1f} ms  (marginal {(t-prev)*1e3:+7.1f})")
         prev = t
 

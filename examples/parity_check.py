@@ -158,6 +158,18 @@ def main(argv=None):
                                   warm_iter=5),
              lambda X: api.tip(X, n_src=2, taps=3, delay=2, n_iter=5,
                                warm_iter=5)),
+            # the df certification tier extended to the joint family
+            # (models/joint_df.py, VERDICT r4 item 8): tip was the
+            # thinnest-margin gated family in round 4 (0.061/0.027 dB)
+            ("tiss df M=5,N=2",
+             lambda X: oracle.tiss(X, n_src=2, taps=3, delay=2, n_iter=15),
+             lambda X: api.tiss(X, n_src=2, taps=3, delay=2, n_iter=15,
+                                acc="f32x2")),
+            ("tip df M=5,N=2",
+             lambda X: oracle.tip(X, n_src=2, taps=3, delay=2, n_iter=5,
+                                  warm_iter=5),
+             lambda X: api.tip(X, n_src=2, taps=3, delay=2, n_iter=5,
+                               warm_iter=5, acc="f32x2")),
             ("ilrma_t M=N=2",
              lambda X: oracle_ilrma_t(
                  X[:, :, :2], taps=3, delay=2, n_iter=15, seed=5

@@ -203,6 +203,101 @@ def _overiva_df_host(X, N, n_iter, model, proj_back, W0, return_filters,
     return Y
 
 
+def _joint_df_host(X, kind, N, taps, delay, n_iter, warm_iter, model,
+                   proj_back, W0, return_filters, callback, callback_every):
+    """Host plumbing for the joint-family double-float tier (acc="f32x2"):
+    exact f32 planes in, df T-ISS/T-IP epochs on device, c64 out
+    (models/joint_df.py). Mirrors the oracles' callback cadence."""
+    from .models import joint_df as _jdf
+
+    T, F, M = X.shape
+    re, im = split_np(X.astype(np.complex64), np.float32)
+    xr, xi = jnp.asarray(re), jnp.asarray(im)
+    one = np.float32(1.0)
+    xtr, xti = _jdf.augment_planes(xr, xi, taps, delay)
+    MJ = M + M * taps
+    if W0 is not None:
+        P0 = np.asarray(
+            _to_host(_augmented_w0(W0, F, M, N, taps, np.complex64))
+        ).astype(np.complex64)
+        p0r, p0i = split_np(P0, np.float32)
+        P = _jdf.planes_to_cdf(jnp.asarray(p0r), jnp.asarray(p0i))
+        warm = 0
+    else:
+        P = _jdf.eye_aug_df(F, M, MJ)
+        # the warm-up is tap-induced (oracle/tip.py:98); tiss never warms
+        warm = int(warm_iter) if (kind == "tip" and taps > 0) else 0
+    x0r, x0i = xr[:, :, 0:1], xi[:, :, 0:1]
+
+    if kind == "tiss":
+        if callback is None:
+            P, Y = _jdf.tiss_df_iterations(
+                xtr, xti, P, one, int(n_iter), model, M, N
+            )
+        else:
+            P, Y = _jdf.tiss_df_iterations(xtr, xti, P, one, 0, model, M, N)
+            done = 0
+            while done < n_iter:
+                yr, yi = _jdf.finalize_from_y_df(Y, x0r, x0i, one, N, True)
+                callback(merge_np(np.asarray(yr), np.asarray(yi)))
+                step = min(callback_every, n_iter - done)
+                P, Y = _jdf.tiss_df_iterations(
+                    xtr, xti, P, one, step, model, M, N
+                )
+                done += step
+        yr, yi = _jdf.finalize_from_y_df(
+            Y, x0r, x0i, one, N, bool(proj_back)
+        )
+    else:  # tip
+        if warm:
+            P, _ = _jdf.tiss_df_iterations(
+                xtr, xti, P, one, warm, model, M, N
+            )
+        if callback is None:
+            P = _jdf.tip_df_iterations(
+                xtr, xti, P, one, int(n_iter), model, M, N
+            )
+        else:
+            done = 0
+            while done < n_iter:
+                yr, yi = _jdf.finalize_from_p_df(
+                    xtr, xti, P, x0r, x0i, one, N, True
+                )
+                callback(merge_np(np.asarray(yr), np.asarray(yi)))
+                step = min(callback_every, n_iter - done)
+                P = _jdf.tip_df_iterations(
+                    xtr, xti, P, one, step, model, M, N
+                )
+                done += step
+        yr, yi = _jdf.finalize_from_p_df(
+            xtr, xti, P, x0r, x0i, one, N, bool(proj_back)
+        )
+    Y = merge_np(np.asarray(yr), np.asarray(yi))
+    if return_filters:
+        pr, pi = _jdf.cdf_to_planes(P)
+        return Y, merge_np(np.asarray(pr), np.asarray(pi))
+    return Y
+
+
+def _joint_df_guard(acc, dtype, cdtype, wcov=None):
+    """Shared acc="f32x2" kwarg validation for the joint family."""
+    if str(acc) not in ("f32", "f32x2"):
+        raise ValueError(f"acc must be 'f32' or 'f32x2', got {acc!r}")
+    if acc != "f32x2":
+        return False
+    if dtype is not None and cdtype != np.dtype(np.complex64):
+        raise ValueError(
+            "acc='f32x2' is the double-float-of-complex64 tier; "
+            f"dtype={dtype!r} is not combinable with it"
+        )
+    if wcov is not None and str(wcov) != "f32":
+        raise ValueError(
+            f"wcov={wcov!r} is not combinable with acc='f32x2' "
+            "(the df tier has its own precision)"
+        )
+    return True
+
+
 def overiva(
     X,
     n_src=None,
@@ -545,6 +640,7 @@ def tiss(
     callback=None,
     callback_every=10,
     dtype=None,
+    acc="f32",
 ):
     """JOINT dereverberation + separation by iterative source steering
     (T-ISS). Extension beyond the reference repo (PAPERS.md lineage:
@@ -562,6 +658,12 @@ def tiss(
 
     W0 may be a previous full (F, M, M + M*taps) stack, a square (F, M, M)
     stack, or (F, n_src, M) target rows.
+
+    ``acc="f32x2"``: run the ENTIRE iteration in double-float (emulated
+    f64) on the device — the certification tier extended to the joint
+    family (models/joint_df.py, VERDICT r4 item 8). ~20x the arithmetic
+    of the f32 path; use for hardware certification against the f64
+    oracle, not throughput.
     """
     from .models.tiss import tiss_iterations
 
@@ -574,6 +676,12 @@ def tiss(
     if taps < 0 or (taps > 0 and delay < 1):
         raise ValueError("need taps >= 0 and delay >= 1 when taps > 0")
     cdtype = np.dtype(dtype or DEFAULT_DTYPE)
+    if _joint_df_guard(acc, dtype, cdtype):
+        return _joint_df_host(
+            np.asarray(X), "tiss", N, taps, delay, int(n_iter), 0,
+            str(model), bool(proj_back), W0, bool(return_filters),
+            callback, int(callback_every),
+        )
 
     Xd = _to_device(X, cdtype)
     Xt = _tiss_augment(Xd, taps, delay)
@@ -635,6 +743,7 @@ def tip(
     callback_every=10,
     dtype=None,
     wcov="f32",
+    acc="f32",
 ):
     """T-IP: joint dereverberation + separation with EXACT iterative-
     projection row updates on the augmented input (the solve-based sibling
@@ -653,6 +762,12 @@ def tip(
     MJ-dim weighted-covariance tier ("f32" exact / "f32x3" / "bf16" MXU
     serving modes — ops/covariance.py; T-IP's covariance is MJ-sized, so
     the MXU tiers bite harder here than on the M<=8 IVA wcov).
+
+    ``acc="f32x2"``: the ENTIRE pipeline (warm-up T-ISS epochs included)
+    in double-float on device, mirroring the oracle's DENSE MJ-dim solve
+    rather than the Schur reduction — the certification tier for the
+    joint family (models/joint_df.py, VERDICT r4 item 8). Certification
+    only; ~20x the f32 arithmetic.
     """
     from .models.tip import tip_iterations
     from .models.tiss import tiss_iterations
@@ -668,6 +783,12 @@ def tip(
     if str(wcov) not in WCOV_MODES:
         raise ValueError(f"wcov must be one of {WCOV_MODES}, got {wcov!r}")
     cdtype = np.dtype(dtype or DEFAULT_DTYPE)
+    if _joint_df_guard(acc, dtype, cdtype, wcov=wcov):
+        return _joint_df_host(
+            np.asarray(X), "tip", N, taps, delay, int(n_iter),
+            int(warm_iter), str(model), bool(proj_back), W0,
+            bool(return_filters), callback, int(callback_every),
+        )
 
     Xd = _to_device(X, cdtype)
     Xt = _tiss_augment(Xd, taps, delay)
