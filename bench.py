@@ -310,8 +310,15 @@ def main():
             )[: clip.shape[0]]
             clip *= gate[:, None].astype(np.float32)
             sep.separate(clip)  # compile + first (slow) tunnel exec
+            # the serving floor is the axon tunnel's waveform transfer
+            # (measured: 4.85 MB up ~95 ms + exec ~45 ms + 1.8 MB down
+            # ~50 ms); tunnel throughput varies run to run by up to 2x,
+            # so take best over more repeats than the device-resident
+            # rows need, with a settle between (earlier rows' queued
+            # tunnel work otherwise bleeds into the first repeats)
+            time.sleep(0.5)
             best = np.inf
-            for _ in range(3):
+            for _ in range(6):
                 t0 = time.perf_counter()
                 y_s = sep.separate(clip)
                 best = min(best, time.perf_counter() - t0)
@@ -322,9 +329,11 @@ def main():
             # fused same-bucket batch: 8 clips, one dispatch (separate_batch)
             clips = [clip[: 8 * fs - i * 2048] for i in range(8)]
             sep.separate_batch(clips)  # compile the batched program
-            t0 = time.perf_counter()
-            outs = sep.separate_batch(clips)
-            t_sb = time.perf_counter() - t0
+            t_sb = np.inf
+            for _ in range(3):
+                t0 = time.perf_counter()
+                outs = sep.separate_batch(clips)
+                t_sb = min(t_sb, time.perf_counter() - t0)
             assert all(np.isfinite(o).all() for o in outs)
             extra["serving_batch8_ms_per_clip"] = round(t_sb / 8 * 1e3, 1)
 
@@ -448,6 +457,18 @@ def main():
             t_tip, Pt2 = timed(lambda: tip_jit(Xt5, Pt0))
             check_finite(Pt2)
             extra["tip_T512_taps5_ms"] = round(t_tip * 1e3, 1)
+
+            # the bf16 wcov serving tier — the one measured lever below
+            # the exact formulation's ~400 ms floor (DESIGN §8 r5)
+            def tip_prog_bf16(xt, p0):
+                P1, _ = tiss_iterations(xt, p0, 10, "laplace", M, n_src=N)
+                return tip_iterations(
+                    xt, P1, 10, "laplace", M, n_src=N, wcov="bf16"
+                )
+
+            t_tipb, Pt2b = timed(lambda: jax.jit(tip_prog_bf16)(Xt5, Pt0))
+            check_finite(Pt2b)
+            extra["tip_T512_taps5_bf16_ms"] = round(t_tipb * 1e3, 1)
 
         with _row("overiva_ip2"):
             # ---- OverIVA-IP2 (pairwise updates: ~0.55 ms/iter but 3-5x fewer

@@ -109,9 +109,12 @@ def main():
     def chain(P, val):
         # fold a data-dependent scalar ~0 into P so the next iteration
         # depends on this one's work (prevents hoisting) without
-        # changing the numerics materially
-        eps = (jnp.real(val) * 0.0).astype(P.real.dtype)
-        return P * (1.0 + eps)
+        # changing the numerics: 1.0 + |val|*1e-30 rounds to exactly 1.0
+        # in f32 at runtime, but is not statically foldable the way a
+        # literal *0.0 is (XLA's simplifier dead-codes that whole chain
+        # — measured on the wcov micro-bench, bench/exp_wcov_tiers.py)
+        eps = (jnp.abs(jnp.real(val)) * 1e-30).astype(P.real.dtype)
+        return P * (1.0 + jnp.minimum(eps, 1e-30))
 
     def probe(stage):
         # Xt enters as a jit ARGUMENT: closure capture would embed the

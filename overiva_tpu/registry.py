@@ -93,6 +93,30 @@ def _df_batch(fn):
     return run_batch
 
 
+def _dfj(fn):
+    """Joint-family df tier (acc="f32x2", models/joint_df.py): unlike the
+    gauss-family `_df` names this does NOT force a model — tip's thin
+    certification margin (VERDICT r4 item 8) is a laplace-path effect."""
+
+    def run(X, **kw):
+        kw.setdefault("acc", "f32x2")
+        return fn(X, **kw)
+
+    return run
+
+
+def _dfj_batch(fn):
+    import numpy as _np
+
+    def run_batch(X_batch, **kw):
+        kw.setdefault("acc", "f32x2")
+        kw.pop("device", None)
+        return _np.stack([fn(_np.asarray(Xb), **kw) for Xb in
+                          _np.asarray(X_batch)])
+
+    return run_batch
+
+
 ALGORITHMS: dict[str, AlgorithmSpec] = {
     s.name: s
     for s in [
@@ -136,6 +160,13 @@ ALGORITHMS: dict[str, AlgorithmSpec] = {
                       defaults={"n_iter": 10, "warm_iter": 10,
                                 "taps": 5, "delay": 2},
                       batch=_gauss(api.tip_batch)),
+        AlgorithmSpec("tiss-df", _dfj(api.tiss),
+                      defaults={"n_iter": 20, "taps": 5, "delay": 2},
+                      batch=_dfj_batch(api.tiss)),
+        AlgorithmSpec("tip-df", _dfj(api.tip),
+                      defaults={"n_iter": 10, "warm_iter": 10,
+                                "taps": 5, "delay": 2},
+                      batch=_dfj_batch(api.tip)),
         AlgorithmSpec("overiva-ip2", api.overiva_ip2, min_src=2,
                       defaults={"n_iter": 10}, batch=api.overiva_ip2_batch),
         AlgorithmSpec("overiva-ip2-gauss", _gauss(api.overiva_ip2),

@@ -59,3 +59,19 @@ def test_df_registry_names(rng):
     assert Yb.shape == (2, 40, 9, 2)
     np.testing.assert_array_equal(Yb[0], Yb[1])
     np.testing.assert_array_equal(Yb[0], Y)
+
+
+def test_joint_df_registry_names(rng):
+    # joint-family certification names (models/joint_df.py): acc="f32x2"
+    # without forcing a model; batch = documented per-element loop
+    X = (rng.standard_normal((40, 9, 3))
+         + 1j * rng.standard_normal((40, 9, 3))).astype(np.complex64)
+    for name, kw in (("tiss-df", dict(n_iter=2)),
+                     ("tip-df", dict(n_iter=1, warm_iter=1))):
+        spec = get_algorithm(name)
+        Y = spec(X, n_src=2, taps=1, delay=1, **kw)
+        assert Y.shape == (40, 9, 2) and np.isfinite(Y).all()
+        Yb = spec.run_batch(np.stack([X, X]), n_src=2, taps=1, delay=1, **kw)
+        assert Yb.shape == (2, 40, 9, 2)
+        np.testing.assert_array_equal(Yb[0], Yb[1])
+        np.testing.assert_array_equal(Yb[0], Y)
