@@ -57,9 +57,18 @@ def main(argv=None):
         "(0 = off; api.OnlineTISS, delay 2 — replaces the separator, "
         "no cascade)",
     )
+    p.add_argument(
+        "--fused", action="store_true",
+        help="drive the serving tier's StreamingSeparator instead of the "
+        "STFT-domain class: raw sample blocks in/out, one fused "
+        "device-resident executable per stream (framing + online "
+        "epochs + overlap-add on device); reports per-block latency",
+    )
     args = p.parse_args(argv)
     if args.wpe and args.tiss:
         p.error("--wpe and --tiss are alternatives (cascade vs joint)")
+    if args.fused and args.wpe:
+        p.error("--fused streams online-iss/online-tiss (no WPE cascade)")
 
     n = int(args.duration * args.fs)
     M = args.mics
@@ -74,6 +83,9 @@ def main(argv=None):
     hop = args.nfft // 2
     X = stft_analysis(stft_pad(mix, args.nfft, hop), args.nfft)
     refs = premix[:, 0, :n]
+
+    if args.fused:
+        return _run_fused(args, mix, refs, hop)
 
     if args.tiss:
         from overiva_tpu.api import OnlineTISS
@@ -124,6 +136,52 @@ def main(argv=None):
     audio_s = T * hop / args.fs
     print(f"\nprocessed {audio_s:.1f}s of audio in {t_proc:.2f}s "
           f"({audio_s / t_proc:.1f}x realtime)")
+
+
+def _run_fused(args, mix, refs, hop):
+    """Serving-tier streaming: raw sample blocks through ONE fused
+    executable (serving.StreamingSeparator), per-block latency report."""
+    from overiva_tpu.serving import StreamingSeparator
+
+    M = args.mics
+    algo = "online-tiss" if args.tiss else "online-iss"
+    kw = dict(taps=args.tiss, delay=2) if args.tiss else {}
+    sep = StreamingSeparator(
+        algo, n_chan=M, nfft=args.nfft, block_frames=args.block,
+        forget=args.forget, n_pass=2, **kw,
+    )
+    bs = sep.block_samples
+    n = mix.shape[0]
+    n_blocks = n // bs
+    delay = args.nfft - hop
+    y = np.zeros((n_blocks * bs + delay, M))
+    lat = []
+    print(f"fused stream: {algo}, {n_blocks} blocks of {bs} samples "
+          f"({bs / args.fs * 1000:.0f} ms audio each)")
+    for i in range(n_blocks):
+        blk = mix[i * bs : (i + 1) * bs]
+        t0 = time.perf_counter()
+        out = sep.process(blk)
+        lat.append(time.perf_counter() - t0)
+        # emitted samples are delayed by nfft - hop (OLA hold-back)
+        y[i * bs : i * bs + bs] = out
+        if i % 8 == 7:
+            done = (i + 1) * bs - delay
+            seg = slice(max(0, done - 2 * args.fs), max(1, done))
+            try:
+                _, sir, _, _ = bss_eval_sources(refs[:, seg], y[seg].T)
+                print(f"  block {i+1:3d}: {lat[-1]*1e3:6.1f} ms  "
+                      f"last-2s SIR {np.round(sir, 1)} dB")
+            except ValueError:
+                pass
+    y[n_blocks * bs :] = sep.flush()
+    warm = np.asarray(lat[2:])
+    audio_s = n_blocks * bs / args.fs
+    print(f"\nprocessed {audio_s:.1f}s in {sum(lat):.2f}s "
+          f"({audio_s / sum(lat):.1f}x realtime); warm per-block "
+          f"median {np.median(warm)*1e3:.1f} ms / p95 "
+          f"{np.percentile(warm, 95)*1e3:.1f} ms vs the block's "
+          f"{bs / args.fs * 1000:.0f} ms of audio")
 
 
 if __name__ == "__main__":

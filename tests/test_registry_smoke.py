@@ -53,6 +53,7 @@ def test_registry_names_are_complete():
         "sparseauxiva", "ilrma", "ilrma-t", "fastmnmf", "fastmnmf2", "five",
         "ogive", "ogive-mix", "ogive-switching", "tiss", "tiss-gauss",
         "tip", "tip-gauss", "overiva-gauss-df", "auxiva-gauss-df",
+        "tiss-df", "tip-df",
     }
     assert expected == set(ALGORITHMS), (
         expected ^ set(ALGORITHMS)
