@@ -50,3 +50,27 @@ def test_oneshot_cli_rejects_unknown_algo():
         cwd=REPO,
     )
     assert out.returncode != 0
+
+
+def test_streaming_cli_fused_runs():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["OVERIVA_FORCE_CPU"] = "1"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p
+    )
+    out = subprocess.run(
+        [
+            sys.executable, str(REPO / "examples" / "streaming.py"),
+            "--mics", "2", "--duration", "2.0", "--nfft", "256",
+            "--block", "8", "--fused",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=REPO,
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "fused stream" in out.stdout and "per-block" in out.stdout
