@@ -391,6 +391,72 @@ class StreamingSeparator:
         self.carry = jnp.zeros_like(self.carry)
         return out
 
+    def warmup(self) -> None:
+        """Compile and first-execute the block program WITHOUT disturbing
+        stream state, so the first real block doesn't pay the compile
+        (~seconds) inside its latency budget. Safe mid-stream too: state
+        is snapshotted and restored around the throwaway zero block."""
+        snap = (self.state, self.tail, self.carry)
+        self.process(np.zeros((self.block_samples, self.n_chan),
+                              self._rdtype))
+        self.state, self.tail, self.carry = snap
+
+    def save(self, path, **meta):
+        """Persist the full stream state (core statistics + framing tail +
+        OLA carry) to ``path`` (npz) — the streaming analog of the batch
+        (return_filters, W0) checkpoint pair (SURVEY.md §5.4). Returns
+        the written path."""
+        from .api import _to_host
+        from .utils.checkpoint import save_state
+
+        host = {
+            k: (_to_host(v) if jnp.iscomplexobj(v) else np.asarray(v))
+            for k, v in self.state.items()
+        }
+        for k, v in (("tail", self.tail), ("carry", self.carry)):
+            if k in host:
+                raise ValueError(f"core state already has a {k!r} key")
+            host[k] = np.asarray(v)
+        meta.setdefault("class", type(self).__name__)
+        meta.setdefault("algo", self.algo)
+        return save_state(path, host, **meta)
+
+    def restore(self, path) -> dict:
+        """Resume a stream saved by :meth:`save` (shapes must match the
+        constructor configuration). Returns the checkpoint metadata."""
+        from .api import _to_device
+        from .utils.checkpoint import load_state
+
+        host, meta = load_state(path)
+        expect = set(self.state) | {"tail", "carry"}
+        if set(host) != expect:
+            raise ValueError(
+                f"checkpoint keys {sorted(host)} != stream keys "
+                f"{sorted(expect)}"
+            )
+        new = {}
+        for k, cur in self.state.items():
+            h = host[k]
+            if tuple(h.shape) != tuple(cur.shape):
+                raise ValueError(
+                    f"state {k!r}: checkpoint shape {h.shape} != "
+                    f"configured {tuple(cur.shape)}"
+                )
+            if jnp.iscomplexobj(cur):
+                new[k] = _to_device(h, np.dtype(cur.dtype))
+            else:
+                new[k] = jnp.asarray(np.asarray(h, np.dtype(cur.dtype)))
+        for k, cur in (("tail", self.tail), ("carry", self.carry)):
+            if tuple(host[k].shape) != tuple(cur.shape):
+                raise ValueError(
+                    f"{k}: checkpoint shape {host[k].shape} != "
+                    f"configured {tuple(cur.shape)}"
+                )
+        self.state = new
+        self.tail = jnp.asarray(np.asarray(host["tail"], self._rdtype))
+        self.carry = jnp.asarray(np.asarray(host["carry"], self._rdtype))
+        return meta
+
 
 class Separator:
     """Fixed-configuration separator for variable-length clips.

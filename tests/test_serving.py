@@ -222,3 +222,47 @@ def test_streaming_matches_offline_synthesis(algo, mixture):
     assert y_stream.shape == y_ref.shape
     scale = max(np.max(np.abs(y_ref)), 1e-12)
     np.testing.assert_allclose(y_stream, y_ref, rtol=1e-8, atol=1e-10 * scale)
+
+
+def test_streaming_warmup_and_checkpoint(mixture, tmp_path):
+    """warmup() compiles without disturbing state; save()/restore()
+    resumes the stream bit-identically (SURVEY.md §5.4 analog)."""
+    from overiva_tpu.serving import StreamingSeparator
+
+    nfft, hop, bf = NFFT, HOP, 8
+    blk = bf * hop
+    x = mixture[: 4 * blk]
+
+    def run(sep, lo, hi):
+        return [sep.process(x[i * blk : (i + 1) * blk])
+                for i in range(lo, hi)]
+
+    ref = StreamingSeparator("online-iss", n_chan=3, nfft=nfft, hop=hop,
+                             block_frames=bf, forget=0.97, dtype=CDT)
+    ref_out = run(ref, 0, 4)
+
+    # warmup mid-construction AND mid-stream must be a no-op on output
+    sep = StreamingSeparator("online-iss", n_chan=3, nfft=nfft, hop=hop,
+                             block_frames=bf, forget=0.97, dtype=CDT)
+    sep.warmup()
+    out_a = run(sep, 0, 2)
+    sep.warmup()
+    path = sep.save(tmp_path / "stream", note="midpoint")
+    out_b = run(sep, 2, 4)
+    for got, want in zip(out_a + out_b, ref_out):
+        np.testing.assert_array_equal(got, want)
+
+    # restore into a FRESH instance and replay the second half
+    sep2 = StreamingSeparator("online-iss", n_chan=3, nfft=nfft, hop=hop,
+                              block_frames=bf, forget=0.97, dtype=CDT)
+    meta = sep2.restore(path)
+    assert meta["note"] == "midpoint" and meta["algo"] == "online-iss"
+    out_c = run(sep2, 2, 4)
+    for got, want in zip(out_c, ref_out[2:]):
+        np.testing.assert_array_equal(got, want)
+
+    # shape-mismatched restore refuses
+    bad = StreamingSeparator("online-iss", n_chan=2, nfft=nfft, hop=hop,
+                             block_frames=bf, forget=0.97, dtype=CDT)
+    with pytest.raises(ValueError):
+        bad.restore(path)
