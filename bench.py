@@ -326,6 +326,20 @@ def main():
             extra["serving_warm_clip8s_ms"] = round(best * 1e3, 1)
             extra["serving_rt_factor"] = round(8.0 / best, 1)
 
+            # int16 PCM transfer tier: half the upload bytes (the tunnel
+            # transfer IS the serving floor), scaled 1/32768 on device —
+            # bit-identical to the float path (tests/test_serving.py)
+            clip_i = np.clip(np.round(clip * 8192), -32768, 32767
+                             ).astype(np.int16)
+            sep.separate(clip_i)  # compile the int16-input executable
+            best_i = np.inf
+            for _ in range(6):
+                t0 = time.perf_counter()
+                y_i = sep.separate(clip_i)
+                best_i = min(best_i, time.perf_counter() - t0)
+            assert np.isfinite(y_i).all()
+            extra["serving_warm_clip8s_i16_ms"] = round(best_i * 1e3, 1)
+
             # fused same-bucket batch: 8 clips, one dispatch (separate_batch)
             clips = [clip[: 8 * fs - i * 2048] for i in range(8)]
             sep.separate_batch(clips)  # compile the batched program

@@ -210,7 +210,14 @@ def _spectral(X, n_src, n_iter, model, branch, taps, delay, warm_iter, wcov):
     return apply_projection_back(Y, X[:, :, 0])
 
 
-def _masked_clip(x, t_pad, nfft, hop, cfg):
+def _masked_clip(x, t_pad, nfft, hop, cfg, rdt="float32"):
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        # int16 PCM transfer tier: the widening cast and the 2^-15 scale
+        # are both EXACT in float, so this computes bit-identical values
+        # to feeding x.astype(rdt) / 32768 — while moving HALF the bytes
+        # over the axon tunnel, which is the measured serving floor
+        # (DESIGN §9 r5).
+        x = x.astype(rdt) * jnp.asarray(1.0 / 32768.0, rdt)
     X = api._stft.analysis(x, nfft, hop)
     keep = jnp.arange(X.shape[0]) >= t_pad
     # the last prepended frames straddle the padding/real boundary (hop
@@ -223,26 +230,27 @@ def _masked_clip(x, t_pad, nfft, hop, cfg):
 
 _STATIC = (
     "nfft", "hop", "n_src", "n_iter", "model", "branch", "taps", "delay",
-    "warm_iter", "wcov",
+    "warm_iter", "wcov", "rdt",
 )
 
 
 @partial(jax.jit, static_argnames=_STATIC)
 def _serve_time_jit(x, t_pad, nfft, hop, n_src, n_iter, model, branch,
-                    taps, delay, warm_iter, wcov):
+                    taps, delay, warm_iter, wcov, rdt="float32"):
     """(n_bucket_samples, M) real + traced pad count -> (n, n_out) real.
 
     ONE executable per (bucket, n_chan, config): analysis, frame zeroing,
-    epochs, projection back, synthesis — zero host round-trips.
+    epochs, projection back, synthesis — zero host round-trips. int16
+    input is scaled 1/32768 on device (exact; see _masked_clip).
     """
     cfg = dict(n_src=n_src, n_iter=n_iter, model=model, branch=branch,
                taps=taps, delay=delay, warm_iter=warm_iter, wcov=wcov)
-    return _masked_clip(x, t_pad, nfft, hop, cfg)
+    return _masked_clip(x, t_pad, nfft, hop, cfg, rdt)
 
 
 @partial(jax.jit, static_argnames=_STATIC)
 def _serve_time_batch_jit(x, t_pad, nfft, hop, n_src, n_iter, model, branch,
-                          taps, delay, warm_iter, wcov):
+                          taps, delay, warm_iter, wcov, rdt="float32"):
     """(B, n_bucket_samples, M) + per-clip pad counts -> (B, n, n_out).
 
     vmap of the exact single-clip program, so batched results match the
@@ -252,7 +260,7 @@ def _serve_time_batch_jit(x, t_pad, nfft, hop, n_src, n_iter, model, branch,
     cfg = dict(n_src=n_src, n_iter=n_iter, model=model, branch=branch,
                taps=taps, delay=delay, warm_iter=warm_iter, wcov=wcov)
     return jax.vmap(
-        lambda xb, tp: _masked_clip(xb, tp, nfft, hop, cfg)
+        lambda xb, tp: _masked_clip(xb, tp, nfft, hop, cfg, rdt)
     )(x, t_pad)
 
 
@@ -622,17 +630,27 @@ class Separator:
         if x.ndim != 2:
             raise ValueError(f"expected (n_samples, n_chan), got {x.shape}")
         n, n_chan = x.shape
+        int_in = x.dtype == np.int16
+        if int_in and self._fused is None:
+            # host fallback has no on-device cast stage — convert here
+            x = x.astype(self._rdtype()) / np.asarray(32768, self._rdtype())
+            int_in = False
         xp, t_real, t_bucket, t_pad, n_bucket = self._prep_clip(x)
         if self._fused is None:
             y = self._separate_host(xp, t_pad, t_bucket, n_bucket, n_chan)
         else:
-            xb = np.zeros((n_bucket, n_chan), dtype=self._rdtype())
+            # int16 PCM clips transfer AS int16 (half the tunnel bytes —
+            # the measured serving floor) and are scaled 1/32768 on
+            # device, bit-identical to x.astype(float)/32768 (exact cast
+            # + power-of-two scale; gated in tests/test_serving.py)
+            bdt = np.int16 if int_in else self._rdtype()
+            xb = np.zeros((n_bucket, n_chan), dtype=bdt)
             xb[t_pad * self.hop : t_pad * self.hop + xp.shape[0]] = xp
             y = np.asarray(
                 _serve_time_jit(
                     jnp.asarray(xb), jnp.asarray(np.int32(t_pad)),
                     nfft=self.nfft, hop=self.hop, n_src=self.n_src,
-                    **self._fused,
+                    rdt=np.dtype(self._rdtype()).name, **self._fused,
                 )
             )
         if y.ndim == 1:
@@ -671,6 +689,14 @@ class Separator:
         """
         clips = [np.asarray(c) for c in clips]
         clips = [c[:, None] if c.ndim == 1 else c for c in clips]
+        if self._fused is None:
+            # host fallback has no on-device cast stage (see separate())
+            rdtype = self._rdtype()
+            clips = [
+                c.astype(rdtype) / np.asarray(32768, rdtype)
+                if c.dtype == np.int16 else c
+                for c in clips
+            ]
         hop = self.hop
         front = self.nfft - hop
 
@@ -691,19 +717,27 @@ class Separator:
                     [prepped[i] for i in idxs], t_bucket, n_bucket, n_chan
                 )
             else:
-                xb = np.zeros(
-                    (len(idxs), n_bucket, n_chan), dtype=self._rdtype()
+                # all-int16 groups ride the int16 transfer tier; mixed
+                # groups fall back to float with the exact host-side
+                # 1/32768 scale on the int16 members
+                rdtype = self._rdtype()
+                all_i16 = all(
+                    prepped[i][0].dtype == np.int16 for i in idxs
                 )
+                bdt = np.int16 if all_i16 else rdtype
+                xb = np.zeros((len(idxs), n_bucket, n_chan), dtype=bdt)
                 t_pads = np.empty((len(idxs),), np.int32)
                 for b, i in enumerate(idxs):
                     xp, _, _, t_pad, _ = prepped[i]
+                    if not all_i16 and xp.dtype == np.int16:
+                        xp = xp.astype(rdtype) / np.asarray(32768, rdtype)
                     xb[b, t_pad * hop : t_pad * hop + xp.shape[0]] = xp
                     t_pads[b] = t_pad
                 ys = np.asarray(
                     _serve_time_batch_jit(
                         jnp.asarray(xb), jnp.asarray(t_pads),
                         nfft=self.nfft, hop=hop, n_src=self.n_src,
-                        **self._fused,
+                        rdt=np.dtype(rdtype).name, **self._fused,
                     )
                 )
                 if ys.ndim == 2:
@@ -741,12 +775,15 @@ class Separator:
         xp_len = stft_pad(np.empty(n_samples), self.nfft, self.hop).shape[0]
         return (xp_len - self.nfft) // self.hop + 1
 
-    def warmup(self, n_chan: int, n_samples: int, seed: int = 0) -> int:
+    def warmup(self, n_chan: int, n_samples: int, seed: int = 0,
+               dtype=None) -> int:
         """Pre-compile every bucket needed up to ``n_samples``.
 
         Runs seeded noise clips through each grid bucket up to the one
         covering ``n_samples`` so first real traffic hits warm executables.
-        Returns the number of buckets touched.
+        Returns the number of buckets touched. ``dtype=np.int16``
+        pre-compiles the int16 transfer-tier executables instead (each
+        input dtype is its own executable).
         """
         rng = np.random.default_rng(seed)
         top = self._bucket(self._t_real_of(max(int(n_samples), self.nfft)))
@@ -758,7 +795,10 @@ class Separator:
         while True:
             b = self._bucket(self._t_real_of(n))
             if b not in done:
-                self.separate(rng.standard_normal((n, n_chan)))
+                clip = rng.standard_normal((n, n_chan))
+                if dtype is not None and np.dtype(dtype) == np.int16:
+                    clip = (clip * 8192).astype(np.int16)
+                self.separate(clip)
                 done.add(b)
             if b >= top:
                 return len(done)

@@ -266,3 +266,33 @@ def test_streaming_warmup_and_checkpoint(mixture, tmp_path):
                              block_frames=bf, forget=0.97, dtype=CDT)
     with pytest.raises(ValueError):
         bad.restore(path)
+
+
+def test_int16_transfer_tier_exact(mixture):
+    """int16 PCM input is bit-identical to x.astype(float)/32768: the
+    widening cast and the 2^-15 scale are exact, so the transfer tier
+    (half the tunnel bytes — the measured serving floor) changes no
+    values. Mixed and all-int16 batches match the per-clip path."""
+    from overiva_tpu.serving import Separator
+
+    sep = Separator("overiva", n_src=2, nfft=NFFT, hop=HOP, n_iter=4,
+                    dtype=CDT)
+    x_f = mixture[: 5 * NFFT].astype(np.float64)
+    x_i = np.clip(np.round(x_f / np.abs(x_f).max() * 20000), -32768,
+                  32767).astype(np.int16)
+    rd = np.float32 if np.dtype(CDT) == np.complex64 else np.float64
+    y_int = sep.separate(x_i)
+    y_float = sep.separate(x_i.astype(rd) / rd(32768))
+    np.testing.assert_array_equal(y_int, y_float)
+
+    # all-int16 batch group == per-clip; mixed batch converts exactly
+    clips_i = [x_i, x_i[: x_i.shape[0] - HOP]]
+    outs = sep.separate_batch(clips_i)
+    for c, o in zip(clips_i, outs):
+        np.testing.assert_allclose(o, sep.separate(c), rtol=1e-9, atol=0)
+    mixed = [x_i, (x_i[: x_i.shape[0] - HOP].astype(rd) / rd(32768))]
+    outs_m = sep.separate_batch(mixed)
+    np.testing.assert_allclose(outs_m[0], sep.separate(x_i), rtol=1e-9,
+                               atol=0)
+    np.testing.assert_allclose(outs_m[1], sep.separate(mixed[1]),
+                               rtol=1e-9, atol=0)
