@@ -326,19 +326,23 @@ def main():
             extra["serving_warm_clip8s_ms"] = round(best * 1e3, 1)
             extra["serving_rt_factor"] = round(8.0 / best, 1)
 
-            # int16 PCM transfer tier: half the upload bytes (the tunnel
-            # transfer IS the serving floor), scaled 1/32768 on device —
-            # bit-identical to the float path (tests/test_serving.py)
+            # int16 PCM transfer tiers: half the bytes each way (the
+            # tunnel transfer IS the serving floor). Input side is
+            # bit-identical to the float path (exact cast + 2^-15 scale);
+            # output side quantizes on device exactly as a host wav
+            # writer would (tests/test_serving.py gates both).
             clip_i = np.clip(np.round(clip * 8192), -32768, 32767
                              ).astype(np.int16)
-            sep.separate(clip_i)  # compile the int16-input executable
+            sep_pcm = Separator("overiva", n_src=N, nfft=4096, hop=2048,
+                                n_iter=N_ITER, out_dtype=np.int16)
+            sep_pcm.separate(clip_i)  # compile the int16 io executable
             best_i = np.inf
             for _ in range(6):
                 t0 = time.perf_counter()
-                y_i = sep.separate(clip_i)
+                y_i = sep_pcm.separate(clip_i)
                 best_i = min(best_i, time.perf_counter() - t0)
-            assert np.isfinite(y_i).all()
-            extra["serving_warm_clip8s_i16_ms"] = round(best_i * 1e3, 1)
+            assert y_i.dtype == np.int16 and np.abs(y_i).max() > 0
+            extra["serving_warm_clip8s_pcm16_ms"] = round(best_i * 1e3, 1)
 
             # fused same-bucket batch: 8 clips, one dispatch (separate_batch)
             clips = [clip[: 8 * fs - i * 2048] for i in range(8)]

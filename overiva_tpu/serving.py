@@ -210,7 +210,17 @@ def _spectral(X, n_src, n_iter, model, branch, taps, delay, warm_iter, wcov):
     return apply_projection_back(Y, X[:, :, 0])
 
 
-def _masked_clip(x, t_pad, nfft, hop, cfg, rdt="float32"):
+def _pcm16(y):
+    """Quantize separated float samples to int16 PCM on device (the
+    download half of the transfer tier): round-half-even at scale 32768
+    with saturation — the same values a host-side wav writer produces,
+    gated bit-exact in tests/test_serving.py."""
+    return jnp.clip(
+        jnp.round(y * jnp.asarray(32768.0, y.dtype)), -32768.0, 32767.0
+    ).astype(jnp.int16)
+
+
+def _masked_clip(x, t_pad, nfft, hop, cfg, rdt="float32", pcm_out=False):
     if jnp.issubdtype(x.dtype, jnp.integer):
         # int16 PCM transfer tier: the widening cast and the 2^-15 scale
         # are both EXACT in float, so this computes bit-identical values
@@ -225,18 +235,20 @@ def _masked_clip(x, t_pad, nfft, hop, cfg, rdt="float32"):
     # what the invariance argument needs
     X = jnp.where(keep[:, None, None], X, jnp.zeros((), X.dtype))
     Y = _spectral(X, **cfg)
-    return api._stft.synthesis(Y, nfft, hop)
+    y = api._stft.synthesis(Y, nfft, hop)
+    return _pcm16(y) if pcm_out else y
 
 
 _STATIC = (
     "nfft", "hop", "n_src", "n_iter", "model", "branch", "taps", "delay",
-    "warm_iter", "wcov", "rdt",
+    "warm_iter", "wcov", "rdt", "pcm_out",
 )
 
 
 @partial(jax.jit, static_argnames=_STATIC)
 def _serve_time_jit(x, t_pad, nfft, hop, n_src, n_iter, model, branch,
-                    taps, delay, warm_iter, wcov, rdt="float32"):
+                    taps, delay, warm_iter, wcov, rdt="float32",
+                    pcm_out=False):
     """(n_bucket_samples, M) real + traced pad count -> (n, n_out) real.
 
     ONE executable per (bucket, n_chan, config): analysis, frame zeroing,
@@ -245,12 +257,13 @@ def _serve_time_jit(x, t_pad, nfft, hop, n_src, n_iter, model, branch,
     """
     cfg = dict(n_src=n_src, n_iter=n_iter, model=model, branch=branch,
                taps=taps, delay=delay, warm_iter=warm_iter, wcov=wcov)
-    return _masked_clip(x, t_pad, nfft, hop, cfg, rdt)
+    return _masked_clip(x, t_pad, nfft, hop, cfg, rdt, pcm_out)
 
 
 @partial(jax.jit, static_argnames=_STATIC)
 def _serve_time_batch_jit(x, t_pad, nfft, hop, n_src, n_iter, model, branch,
-                          taps, delay, warm_iter, wcov, rdt="float32"):
+                          taps, delay, warm_iter, wcov, rdt="float32",
+                          pcm_out=False):
     """(B, n_bucket_samples, M) + per-clip pad counts -> (B, n, n_out).
 
     vmap of the exact single-clip program, so batched results match the
@@ -260,7 +273,7 @@ def _serve_time_batch_jit(x, t_pad, nfft, hop, n_src, n_iter, model, branch,
     cfg = dict(n_src=n_src, n_iter=n_iter, model=model, branch=branch,
                taps=taps, delay=delay, warm_iter=warm_iter, wcov=wcov)
     return jax.vmap(
-        lambda xb, tp: _masked_clip(xb, tp, nfft, hop, cfg, rdt)
+        lambda xb, tp: _masked_clip(xb, tp, nfft, hop, cfg, rdt, pcm_out)
     )(x, t_pad)
 
 
@@ -486,7 +499,12 @@ class Separator:
     Every SERVABLE family runs as ONE fused samples-to-samples XLA program
     per (bucket, n_chan) — the pad count is a traced argument, so all clip
     lengths within a bucket share the executable, and only real waveforms
-    cross the host boundary. Kwargs outside the fused program's static
+    cross the host boundary. Transfer tiers (the tunnel transfer is the
+    measured serving floor, DESIGN §9 r5): int16 PCM INPUT transfers as
+    int16 and is scaled 1/32768 on device, bit-identical to the float
+    path; ``out_dtype=np.int16`` quantizes the OUTPUT to int16 PCM on
+    device (round-half-even at 32768, saturating) — what a wav writer
+    would do on the host, at half the download bytes. Kwargs outside the fused program's static
     surface (callback, W0, return_filters, chunk_frames, acc, ...) and
     ``allow_unverified`` algorithms fall back to a host-boundary path that
     routes through the registry runner (several extra transfers per clip).
@@ -515,6 +533,7 @@ class Separator:
         bucket_ratio: float = 1.25,
         bucket_multiple: int = 8,
         allow_unverified: bool = False,
+        out_dtype=None,
         **algo_kwargs,
     ):
         self.spec = get_algorithm(algo)
@@ -532,11 +551,16 @@ class Separator:
             )
         if self.spec.single_output and n_src not in (None, 1):
             raise ValueError(f"{algo!r} always extracts one source")
+        if out_dtype is not None and np.dtype(out_dtype) != np.int16:
+            raise ValueError(
+                f"out_dtype must be None (float) or int16, got {out_dtype!r}"
+            )
         self.algo = algo
         self.n_src = n_src
         self.nfft = int(nfft)
         self.hop = int(hop or nfft // 2)
         self.dtype = dtype
+        self.pcm_out = out_dtype is not None
         self.min_frames = int(min_frames)
         self.bucket_ratio = float(bucket_ratio)
         self.bucket_multiple = int(bucket_multiple)
@@ -650,7 +674,8 @@ class Separator:
                 _serve_time_jit(
                     jnp.asarray(xb), jnp.asarray(np.int32(t_pad)),
                     nfft=self.nfft, hop=self.hop, n_src=self.n_src,
-                    rdt=np.dtype(self._rdtype()).name, **self._fused,
+                    rdt=np.dtype(self._rdtype()).name,
+                    pcm_out=self.pcm_out, **self._fused,
                 )
             )
         if y.ndim == 1:
@@ -675,7 +700,8 @@ class Separator:
             Y = Y[0]
         if Y.ndim == 2:  # single-output extractors return (T, F)
             Y = Y[:, :, None]
-        return api.stft_synthesis(Y, self.nfft, self.hop, dtype=self.dtype)
+        y = api.stft_synthesis(Y, self.nfft, self.hop, dtype=self.dtype)
+        return self._pcm16_host(y) if self.pcm_out else y
 
     def separate_batch(self, clips) -> list[np.ndarray]:
         """Separate a sequence of clips, fusing same-bucket clips.
@@ -737,7 +763,8 @@ class Separator:
                     _serve_time_batch_jit(
                         jnp.asarray(xb), jnp.asarray(t_pads),
                         nfft=self.nfft, hop=hop, n_src=self.n_src,
-                        rdt=np.dtype(rdtype).name, **self._fused,
+                        rdt=np.dtype(rdtype).name,
+                        pcm_out=self.pcm_out, **self._fused,
                     )
                 )
                 if ys.ndim == 2:
@@ -768,7 +795,16 @@ class Separator:
         Y = self.spec.run_batch(X, n_src=self.n_src, **kw)
         if Y.ndim == 3:  # single-output extractors return (B, T, F)
             Y = Y[:, :, :, None]
-        return api.stft_synthesis_batch(Y, self.nfft, hop, dtype=self.dtype)
+        ys = api.stft_synthesis_batch(Y, self.nfft, hop, dtype=self.dtype)
+        return self._pcm16_host(ys) if self.pcm_out else ys
+
+    @staticmethod
+    def _pcm16_host(y):
+        # host twin of the fused program's _pcm16 (same rounding mode)
+        rd = y.dtype
+        return np.clip(
+            np.round(y * rd.type(32768.0)), -32768.0, 32767.0
+        ).astype(np.int16)
 
     def _t_real_of(self, n_samples: int) -> int:
         """Frame count the clip path produces for an ``n_samples`` clip."""

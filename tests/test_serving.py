@@ -296,3 +296,27 @@ def test_int16_transfer_tier_exact(mixture):
                                atol=0)
     np.testing.assert_allclose(outs_m[1], sep.separate(mixed[1]),
                                rtol=1e-9, atol=0)
+
+
+def test_int16_output_tier(mixture):
+    """out_dtype=np.int16 quantizes on device exactly as a host wav
+    writer would (round-half-even at 32768, saturating), on both the
+    fused and host-fallback paths."""
+    from overiva_tpu.serving import Separator
+
+    x = mixture[: 5 * NFFT]
+    kw = dict(n_src=2, nfft=NFFT, hop=HOP, n_iter=4, dtype=CDT)
+    sep_f = Separator("overiva", **kw)
+    sep_i = Separator("overiva", out_dtype=np.int16, **kw)
+    y_f = sep_f.separate(x)
+    y_i = sep_i.separate(x)
+    assert y_i.dtype == np.int16
+    want = np.clip(np.round(y_f * y_f.dtype.type(32768.0)),
+                   -32768.0, 32767.0).astype(np.int16)
+    np.testing.assert_array_equal(y_i, want)
+
+    outs = sep_i.separate_batch([x, x[: x.shape[0] - HOP]])
+    np.testing.assert_array_equal(outs[0], y_i)
+
+    with pytest.raises(ValueError, match="out_dtype"):
+        Separator("overiva", out_dtype=np.float16, **kw)
