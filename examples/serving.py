@@ -55,6 +55,13 @@ def main(argv=None):
         "--warmup", action="store_true",
         help="pre-compile every bucket up to the longest clip first",
     )
+    p.add_argument(
+        "--pcm16", action="store_true",
+        help="serve int16 PCM both ways: clips transfer as int16 (scaled "
+        "1/32768 on device — bit-identical to the float path) and the "
+        "separated samples come back quantized to int16 PCM on device; "
+        "half the tunnel bytes each direction (DESIGN §9 r5)",
+    )
     args = p.parse_args(argv)
 
     # one simulated scene; clips are cut from its head
@@ -71,11 +78,21 @@ def main(argv=None):
     refs = premix[:, 0, :n]  # source images at mic 0
 
     spec_n_src = None if N == M else N
-    sep = Separator(args.algo, n_src=spec_n_src, nfft=args.nfft, n_iter=args.n_iter)
+    sep = Separator(
+        args.algo, n_src=spec_n_src, nfft=args.nfft, n_iter=args.n_iter,
+        out_dtype=np.int16 if args.pcm16 else None,
+    )
+    if args.pcm16:
+        peak = np.abs(mix).max()
+        mix = np.clip(np.round(mix / peak * 24000), -32768, 32767
+                      ).astype(np.int16)
 
     if args.warmup:
         t0 = time.perf_counter()
-        touched = sep.warmup(n_chan=M, n_samples=n)
+        touched = sep.warmup(
+            n_chan=M, n_samples=n,
+            dtype=np.int16 if args.pcm16 else None,
+        )
         print(f"warmup: {touched} buckets compiled in {time.perf_counter() - t0:.1f} s")
 
     for secs in args.lengths:
@@ -83,6 +100,8 @@ def main(argv=None):
         t0 = time.perf_counter()
         y = sep.separate(mix[:n_c])
         dt = time.perf_counter() - t0
+        if args.pcm16:
+            y = y.astype(np.float64) / 32768.0
         sdr, sir, _, _ = bss_eval_sources(refs[:, :n_c], y.T[: refs.shape[0]])
         bucket = sep._bucket(sep._t_real_of(n_c))
         print(
