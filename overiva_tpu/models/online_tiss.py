@@ -59,7 +59,7 @@ import jax.numpy as jnp
 from ..ops.linalg import PRECISION, gauss_solve
 from ..ops.wpe import delayed_taps
 from .overiva import demix
-from .source_models import activations
+from .source_models import activations_from_power, power
 
 __all__ = ["online_tiss_init", "online_tiss_step"]
 
@@ -97,18 +97,26 @@ def online_tiss_init(F: int, M: int, taps: int, delay: int,
 
 @partial(
     jax.jit,
-    static_argnames=("taps", "delay", "model", "n_pass", "tap_update"),
+    static_argnames=("taps", "delay", "model", "n_pass", "tap_update",
+                     "axis_name", "n_freq"),
 )
 def online_tiss_step(
     X_blk, state, forget, taps: int, delay: int, model: str = "laplace",
     n_pass: int = 1, pb_forget=None, tap_update: str = "solve",
-    diag_load: float = 1e-5, tap_forget=None,
+    diag_load: float = 1e-5, tap_forget=None, axis_name=None, n_freq=None,
+    bin_mask=None,
 ):
     """Process one STFT block. X_blk: (B, F, M) complex.
 
     ``tap_forget``: separate (typically longer) forgetting factor for the
     tap statistics Rz/rp — the room's late-reverb structure changes slower
     than the source activity the demixing stats track.
+
+    ``axis_name``/``n_freq``/``bin_mask``: bin-sharded execution
+    (parallel/sharded.py) — the per-frame power is the ONE cross-bin
+    quantity per pass (a (B, M) real psum; every other statistic,
+    including the tap normal-equation solve, is per-bin), exactly the
+    online-ISS collective budget.
 
     Returns (Y_blk projection-back scaled, new state)."""
     B, F, M = X_blk.shape
@@ -130,7 +138,10 @@ def online_tiss_step(
 
     for _ in range(n_pass):
         Y = demix(Xt_blk, P)
-        _, phi = activations(Y, model)  # (B, M)
+        pw = power(Y, bin_mask)
+        if axis_name is not None:
+            pw = jax.lax.psum(pw, axis_name)
+        _, phi = activations_from_power(pw, n_freq or F, model)  # (B, M)
         phif = phi.astype(Y.real.dtype)
 
         for n in range(M):  # source steering on the augmented rows

@@ -61,6 +61,7 @@ __all__ = [
     "sharded_tiss",
     "sharded_wpe",
     "sharded_online_iss",
+    "sharded_online_tiss",
 ]
 
 
@@ -1377,5 +1378,112 @@ def sharded_online_iss(
     Y = _sharded_online_iss_padded(
         X_batch, jnp.asarray(mask), fj, pbj, mesh, int(block), model,
         int(n_pass), int(F),
+    )
+    return Y[:, :, :F, :]
+
+
+def _online_tiss_one(X, bin_mask, block, forget, taps, delay, model, n_pass,
+                     n_freq_total, pb_forget, tap_forget, tap_update,
+                     diag_load):
+    """Per-shard, per-stream online T-ISS over the local bin slice: a
+    lax.scan over fixed-size blocks carrying the joint streaming state.
+    The per-pass (B, M) power psum is the ONE cross-bin collective — the
+    tap normal-equation solve (Rz/rp, models/online_tiss.py) is per-bin
+    by construction, so joint dereverberation adds ZERO collectives over
+    the plain online-ISS budget."""
+    from ..models.online_tiss import online_tiss_init, online_tiss_step
+
+    T, Fl, M = X.shape
+    state = online_tiss_init(Fl, M, taps, delay, tap_update, X.dtype)
+    # constant init must carry the same varying-axes type as the scan body
+    state = {k: jax.lax.pcast(v, (AXIS_MIX, AXIS_BINS), to="varying")
+             for k, v in state.items()}
+    Xb = X.reshape(T // block, block, Fl, M)
+
+    def step(st, xb):
+        Y, st = online_tiss_step(
+            xb, st, forget, taps=taps, delay=delay, model=model,
+            n_pass=n_pass, pb_forget=pb_forget, tap_update=tap_update,
+            diag_load=diag_load, tap_forget=tap_forget,
+            axis_name=AXIS_BINS, n_freq=n_freq_total, bin_mask=bin_mask,
+        )
+        return st, Y
+
+    _, Ys = jax.lax.scan(step, state, Xb)
+    return Ys.reshape(T, Fl, M)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "block", "taps", "delay", "model", "n_pass",
+                     "tap_update", "n_freq_total"),
+)
+def _sharded_online_tiss_padded(
+    X, bin_mask, forget, pb_forget, tap_forget, diag_load, mesh, block,
+    taps, delay, model, n_pass, tap_update, n_freq_total,
+):
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(AXIS_MIX, None, AXIS_BINS, None), P(AXIS_BINS)),
+        out_specs=P(AXIS_MIX, None, AXIS_BINS, None),
+    )
+    def run(Xl, maskl):
+        sep = lambda x: _online_tiss_one(
+            x, maskl, block, forget, taps, delay, model, n_pass,
+            n_freq_total, pb_forget, tap_forget, tap_update, diag_load,
+        )
+        return jax.vmap(sep)(Xl)
+
+    return run(X, bin_mask)
+
+
+def sharded_online_tiss(
+    mesh,
+    X_batch,
+    block: int,
+    taps: int = 4,
+    delay: int = 2,
+    forget: float = 0.97,
+    model: str = "laplace",
+    n_pass: int = 1,
+    pb_forget: float | None = None,
+    tap_forget: float | None = None,
+    tap_update: str = "solve",
+    diag_load: float = 1e-5,
+):
+    """Streaming JOINT dereverb + separation (online T-ISS) over the mesh:
+    a batch of B parallel streams data-parallel on the 'mix' axis AND
+    bin-sharded on 'bins', processed block-wise.
+
+    X_batch: (B, T, F, M) complex with T divisible by ``block``; returns
+    (B, T, F, M) — per-stream results match feeding the same blocks
+    through ``api.OnlineTISS`` (``models/online_tiss.py``). Collective
+    budget is identical to :func:`sharded_online_iss` (one (block, M)
+    power psum per pass): the tap statistics Rz/rp and their
+    normal-equation solve are per-bin, so the dereverberation adds no
+    cross-chip traffic.
+    """
+    B, T, F, M = X_batch.shape
+    if T % int(block) != 0:
+        raise ValueError(f"stream length {T} not divisible by block {block}")
+    if tap_update not in ("solve", "steer"):
+        raise ValueError("tap_update must be 'solve' or 'steer'")
+    n_mix = mesh.shape[AXIS_MIX]
+    n_bins = mesh.shape[AXIS_BINS]
+    if B % n_mix != 0:
+        raise ValueError(f"batch {B} not divisible by mix axis {n_mix}")
+    F_pad, mask = pad_bins(F, n_bins)
+    if F_pad != F:
+        reps = jnp.repeat(X_batch[:, :, -1:, :], F_pad - F, axis=2)
+        X_batch = jnp.concatenate([X_batch, reps], axis=2)
+    rdt = jnp.finfo(X_batch.dtype).dtype
+    fj = jnp.asarray(forget, rdt)
+    pbj = fj if pb_forget is None else jnp.asarray(pb_forget, rdt)
+    tapj = fj if tap_forget is None else jnp.asarray(tap_forget, rdt)
+    dlj = jnp.asarray(diag_load, rdt)
+    Y = _sharded_online_tiss_padded(
+        X_batch, jnp.asarray(mask), fj, pbj, tapj, dlj, mesh, int(block),
+        int(taps), int(delay), model, int(n_pass), tap_update, int(F),
     )
     return Y[:, :, :F, :]

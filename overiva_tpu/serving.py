@@ -66,6 +66,7 @@ import jax.numpy as jnp
 
 from . import api
 from .oracle.stft import stft_pad
+from .parallel.mesh import AXIS_MIX
 from .registry import ALGORITHMS, get_algorithm
 from .utils.packing import real_dtype_of
 
@@ -508,6 +509,15 @@ class Separator:
     surface (callback, W0, return_filters, chunk_frames, acc, ...) and
     ``allow_unverified`` algorithms fall back to a host-boundary path that
     routes through the registry runner (several extra transfers per clip).
+
+    ``mesh``: a ``('mix', 'bins')`` device mesh (``parallel.mesh.make_mesh``)
+    scales ``separate_batch`` over chips — each bucket group's batch axis is
+    sharded over the mesh's 'mix' axis (clips are independent, so XLA's SPMD
+    partitioner runs one lane's program per chip with ZERO collectives; the
+    group is padded to a multiple of the axis size by replicating its last
+    clip, and the pad lanes are dropped on the way out). Per-clip results
+    are gated equal to the meshless path (tests/test_serving.py). Requires
+    a fused branch; ``separate()`` (a single clip) is unaffected.
     """
 
     # kwargs each fused branch accepts (beyond n_iter/model, always taken)
@@ -534,6 +544,7 @@ class Separator:
         bucket_multiple: int = 8,
         allow_unverified: bool = False,
         out_dtype=None,
+        mesh=None,
         **algo_kwargs,
     ):
         self.spec = get_algorithm(algo)
@@ -566,6 +577,19 @@ class Separator:
         self.bucket_multiple = int(bucket_multiple)
         self.algo_kwargs = dict(algo_kwargs)
         self._fused = self._fused_config()
+        if mesh is not None:
+            if self._fused is None:
+                raise ValueError(
+                    "mesh serving requires a fused branch: "
+                    f"{algo!r} with these kwargs falls back to the "
+                    "host-boundary path (no batch axis to shard)"
+                )
+            if AXIS_MIX not in mesh.shape:
+                raise ValueError(
+                    f"mesh must carry a {AXIS_MIX!r} axis "
+                    "(parallel.mesh.make_mesh)"
+                )
+        self.mesh = mesh
         self.stats = {
             "clips": 0,
             "frames_real": 0,
@@ -759,14 +783,17 @@ class Separator:
                         xp = xp.astype(rdtype) / np.asarray(32768, rdtype)
                     xb[b, t_pad * hop : t_pad * hop + xp.shape[0]] = xp
                     t_pads[b] = t_pad
+                xb_dev, tp_dev = jnp.asarray(xb), jnp.asarray(t_pads)
+                if self.mesh is not None:
+                    xb_dev, tp_dev = self._shard_group(xb, t_pads)
                 ys = np.asarray(
                     _serve_time_batch_jit(
-                        jnp.asarray(xb), jnp.asarray(t_pads),
+                        xb_dev, tp_dev,
                         nfft=self.nfft, hop=hop, n_src=self.n_src,
                         rdt=np.dtype(rdtype).name,
                         pcm_out=self.pcm_out, **self._fused,
                     )
-                )
+                )[: len(idxs)]
                 if ys.ndim == 2:
                     ys = ys[:, :, None]
             for b, i in enumerate(idxs):
@@ -797,6 +824,25 @@ class Separator:
             Y = Y[:, :, :, None]
         ys = api.stft_synthesis_batch(Y, self.nfft, hop, dtype=self.dtype)
         return self._pcm16_host(ys) if self.pcm_out else ys
+
+    def _shard_group(self, xb, t_pads):
+        """Shard a bucket group's batch axis over the mesh 'mix' axis.
+
+        Pads the group to a multiple of the axis size by replicating its
+        last clip (real data keeps every lane's solves well-conditioned;
+        the caller drops the pad lanes). Clips are independent, so the
+        sharded program needs zero collectives — XLA runs one lane's
+        program per chip.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_lanes = self.mesh.shape[AXIS_MIX]
+        pad = (-xb.shape[0]) % n_lanes
+        if pad:
+            xb = np.concatenate([xb, np.repeat(xb[-1:], pad, axis=0)])
+            t_pads = np.concatenate([t_pads, np.repeat(t_pads[-1:], pad)])
+        sh = NamedSharding(self.mesh, PartitionSpec(AXIS_MIX))
+        return jax.device_put(xb, sh), jax.device_put(t_pads, sh)
 
     @staticmethod
     def _pcm16_host(y):

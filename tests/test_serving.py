@@ -115,6 +115,46 @@ def test_separate_batch_matches_per_clip(mixture):
         np.testing.assert_allclose(o, ref.separate(c), rtol=1e-9, atol=1e-12)
 
 
+def test_mesh_batch_serving_matches_meshless(mixture):
+    """Separator(mesh=...): each bucket group's batch axis shards over the
+    mesh 'mix' axis (clips are independent — zero collectives); per-clip
+    outputs must equal the meshless path, including the pad-lane drop when
+    a group does not fill the axis (here groups of 2 and 1 on a 4-lane
+    axis)."""
+    import jax
+
+    from overiva_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(4, 2, devices=jax.devices()[:8])
+    sep = Separator(
+        "overiva", n_src=2, nfft=NFFT, hop=HOP, dtype=CDT, n_iter=4,
+        mesh=mesh,
+    )
+    clips = [mixture[:3600], mixture[:2000], mixture[:3900]]
+    outs = sep.separate_batch(clips)
+    ref = Separator("overiva", n_src=2, nfft=NFFT, hop=HOP, dtype=CDT, n_iter=4)
+    refs = ref.separate_batch(clips)
+    assert sep.stats["clips"] == 3  # pad lanes are not counted as traffic
+    for o, r in zip(outs, refs):
+        assert o.shape == r.shape
+        np.testing.assert_allclose(o, r, rtol=1e-7, atol=1e-10)
+
+
+def test_mesh_serving_rejections(mixture):
+    import jax
+    from jax.sharding import Mesh
+
+    from overiva_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(4, 2, devices=jax.devices()[:8])
+    with pytest.raises(ValueError, match="fused branch"):
+        Separator("ilrma", nfft=NFFT, hop=HOP, allow_unverified=True,
+                  mesh=mesh)
+    bad = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("clips",))
+    with pytest.raises(ValueError, match="mix"):
+        Separator("overiva", n_src=2, nfft=NFFT, hop=HOP, mesh=bad)
+
+
 def test_separate_batch_single_output(mixture):
     sep = Separator("five", nfft=NFFT, hop=HOP, dtype=CDT, n_iter=3)
     outs = sep.separate_batch([mixture[:3600], mixture[:3900]])

@@ -239,3 +239,43 @@ def test_sharded_online_iss_matches_oracle(batch, mesh_shape):
     for b in range(Xb.shape[0]):
         Yref = online_iss_run(Xb[b], block, forget=0.97, n_pass=2)
         np.testing.assert_allclose(Y[b], Yref, rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+def test_sharded_online_tiss_matches_single_device(batch, mesh_shape):
+    """Streaming JOINT dereverb+separation twin: must match the
+    single-device online_tiss_step stream per element (c128) — the tap
+    normal-equation solve is per-bin, so sharding only reorders the one
+    power psum."""
+    from overiva_tpu.models.online_tiss import (
+        online_tiss_init,
+        online_tiss_step,
+    )
+    from overiva_tpu.parallel.sharded import sharded_online_tiss
+
+    assert len(jax.devices()) >= mesh_shape[0] * mesh_shape[1]
+    mesh = make_mesh(
+        *mesh_shape, devices=jax.devices()[: mesh_shape[0] * mesh_shape[1]]
+    )
+    block, taps, delay = 16, 2, 1
+    T = (batch.shape[1] // block) * block
+    Xb = batch[:, :T]
+    forget = jnp.asarray(0.97, jnp.float64)
+    Y = np.asarray(
+        sharded_online_tiss(
+            mesh, jnp.asarray(Xb), block=block, taps=taps, delay=delay,
+            forget=0.97, n_pass=2,
+        )
+    )
+    for b in range(Xb.shape[0]):
+        F, M = Xb.shape[2], Xb.shape[3]
+        state = online_tiss_init(F, M, taps, delay, "solve", jnp.complex128)
+        outs = []
+        for t0 in range(0, T, block):
+            Yblk, state = online_tiss_step(
+                jnp.asarray(Xb[b, t0 : t0 + block]), state, forget,
+                taps=taps, delay=delay, n_pass=2,
+            )
+            outs.append(np.asarray(Yblk))
+        Yref = np.concatenate(outs, axis=0)
+        np.testing.assert_allclose(Y[b], Yref, rtol=1e-6, atol=1e-8)
