@@ -589,6 +589,18 @@ class Separator:
                     f"mesh must carry a {AXIS_MIX!r} axis "
                     "(parallel.mesh.make_mesh)"
                 )
+            if mesh.size != mesh.shape[AXIS_MIX]:
+                import warnings
+
+                warnings.warn(
+                    "serving shards ONLY the batch axis over "
+                    f"{AXIS_MIX!r}: this mesh has {mesh.size} devices but "
+                    f"{AXIS_MIX}={mesh.shape[AXIS_MIX]}, so the other "
+                    f"axes replicate every clip's compute "
+                    f"{mesh.size // mesh.shape[AXIS_MIX]}x for no "
+                    "throughput — use make_mesh(n_devices, 1)",
+                    stacklevel=2,
+                )
         self.mesh = mesh
         self.stats = {
             "clips": 0,
@@ -783,17 +795,22 @@ class Separator:
                         xp = xp.astype(rdtype) / np.asarray(32768, rdtype)
                     xb[b, t_pad * hop : t_pad * hop + xp.shape[0]] = xp
                     t_pads[b] = t_pad
-                xb_dev, tp_dev = jnp.asarray(xb), jnp.asarray(t_pads)
                 if self.mesh is not None:
                     xb_dev, tp_dev = self._shard_group(xb, t_pads)
-                ys = np.asarray(
-                    _serve_time_batch_jit(
-                        xb_dev, tp_dev,
-                        nfft=self.nfft, hop=hop, n_src=self.n_src,
-                        rdt=np.dtype(rdtype).name,
-                        pcm_out=self.pcm_out, **self._fused,
-                    )
-                )[: len(idxs)]
+                else:
+                    xb_dev, tp_dev = jnp.asarray(xb), jnp.asarray(t_pads)
+                ys_dev = _serve_time_batch_jit(
+                    xb_dev, tp_dev,
+                    nfft=self.nfft, hop=hop, n_src=self.n_src,
+                    rdt=np.dtype(rdtype).name,
+                    pcm_out=self.pcm_out, **self._fused,
+                )
+                if ys_dev.shape[0] != len(idxs):
+                    # slice BEFORE the host fetch: an underfull mesh
+                    # group's pad lanes must not cross the tunnel
+                    # (transfer is the serving floor)
+                    ys_dev = ys_dev[: len(idxs)]
+                ys = np.asarray(ys_dev)
                 if ys.ndim == 2:
                     ys = ys[:, :, None]
             for b, i in enumerate(idxs):

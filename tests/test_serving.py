@@ -125,7 +125,7 @@ def test_mesh_batch_serving_matches_meshless(mixture):
 
     from overiva_tpu.parallel.mesh import make_mesh
 
-    mesh = make_mesh(4, 2, devices=jax.devices()[:8])
+    mesh = make_mesh(4, 1, devices=jax.devices()[:4])
     sep = Separator(
         "overiva", n_src=2, nfft=NFFT, hop=HOP, dtype=CDT, n_iter=4,
         mesh=mesh,
@@ -146,13 +146,18 @@ def test_mesh_serving_rejections(mixture):
 
     from overiva_tpu.parallel.mesh import make_mesh
 
-    mesh = make_mesh(4, 2, devices=jax.devices()[:8])
+    mesh = make_mesh(4, 1, devices=jax.devices()[:4])
     with pytest.raises(ValueError, match="fused branch"):
         Separator("ilrma", nfft=NFFT, hop=HOP, allow_unverified=True,
                   mesh=mesh)
     bad = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("clips",))
     with pytest.raises(ValueError, match="mix"):
         Separator("overiva", n_src=2, nfft=NFFT, hop=HOP, mesh=bad)
+    # a mesh with devices on non-'mix' axes replicates serving compute
+    # for no throughput — accepted (results stay correct) but warned
+    with pytest.warns(UserWarning, match="replicate"):
+        Separator("overiva", n_src=2, nfft=NFFT, hop=HOP,
+                  mesh=make_mesh(4, 2, devices=jax.devices()[:8]))
 
 
 def test_separate_batch_single_output(mixture):
