@@ -79,6 +79,32 @@ def test_padding_invariance(algo, mixture):
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8 * scale)
 
 
+@pytest.mark.parametrize("algo", ["overiva", "tiss"])
+def test_padding_invariance_quarter_hop(algo, mixture):
+    """The invariance argument is hop-independent (the pad is t_pad*hop
+    samples, tap delays count frames): gate it at hop = nfft/4 too —
+    every other serving test runs the half-hop default. (Non-dividing
+    hops are rejected upstream by the biorthogonal synthesis window.)"""
+    from overiva_tpu.registry import get_algorithm
+
+    hop = NFFT // 4
+    spec = get_algorithm(algo)
+    kw = {"n_iter": 4, "dtype": CDT}
+    if algo == "tiss":
+        kw.update(taps=2, delay=1)
+    sep = Separator(algo, n_src=2, nfft=NFFT, hop=hop, **kw)
+    got = sep.separate(mixture)
+    assert sep.stats["frames_padded"] > 0
+    xp = stft_pad(mixture, NFFT, hop)
+    X = api.stft_analysis(xp, NFFT, hop, dtype=CDT)
+    Y = spec(X, n_src=2, **kw)
+    y = api.stft_synthesis(Y, NFFT, hop, dtype=CDT)
+    front = NFFT - hop
+    want = y[front : front + mixture.shape[0]]
+    scale = np.max(np.abs(want))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8 * scale)
+
+
 def test_bucket_grid():
     # exact multiples, monotone, geometric growth, floor at min_frames
     assert bucket_frames(1) == 32
