@@ -355,6 +355,24 @@ def main():
             assert all(np.isfinite(o).all() for o in outs)
             extra["serving_batch8_ms_per_clip"] = round(t_sb / 8 * 1e3, 1)
 
+            # int16 both ways, batched: the realistic PCM throughput
+            # configuration (half the transfer bytes per clip AND one
+            # dispatch per bucket)
+            clips_i = [
+                np.clip(np.round(c * 8192), -32768, 32767).astype(np.int16)
+                for c in clips
+            ]
+            sep_pcm.separate_batch(clips_i)  # compile the int16 batch
+            t_sbi = np.inf
+            for _ in range(3):
+                t0 = time.perf_counter()
+                outs_i = sep_pcm.separate_batch(clips_i)
+                t_sbi = min(t_sbi, time.perf_counter() - t0)
+            assert all(o.dtype == np.int16 for o in outs_i)
+            extra["serving_batch8_pcm16_ms_per_clip"] = round(
+                t_sbi / 8 * 1e3, 1
+            )
+
         with _row("streaming"):
             # ---- streaming serving surface (serving.StreamingSeparator):
             # warm per-block latency of the fused samples->samples block
@@ -553,6 +571,38 @@ def main():
             )
             check_finite(Qf)
             extra["fastmnmf2_it_s"] = round(N_ITER / t_fm, 1)
+
+        with _row("ilrma"):
+            # ---- ILRMA baseline (determined M=N=8, K=2 NMF components;
+            # the reference's quality baseline family) ----
+            from overiva_tpu.models.ilrma import ilrma_iterations
+
+            rngl = np.random.default_rng(2)
+            B0 = jnp.asarray((rngl.random((M, F, 2)) + 0.1).astype(np.float32))
+            H0 = jnp.asarray(
+                (rngl.random((M, 2, X.shape[0])) + 0.1).astype(np.float32)
+            )
+            t_il, (Wl, _, _) = timed(
+                lambda: ilrma_iterations(X, Weye, B0, H0, N_ITER)
+            )
+            check_finite(Wl)
+            extra["ilrma_it_s"] = round(N_ITER / t_il, 1)
+
+        with _row("five"):
+            # ---- FIVE (single-source extraction: whiten + min-eigvector
+            # epochs; converges in a handful — time the 10-iteration
+            # default program incl. the whitening eigh) ----
+            from overiva_tpu.models.five import five_iterations, five_whiten
+
+            def five_prog(x):
+                xw, _ = five_whiten(x)
+                w0 = jnp.zeros((F, M), x.dtype).at[:, 0].set(1.0)
+                return five_iterations(xw, w0, 10, "laplace")
+
+            five_jit = jax.jit(five_prog)
+            t_fv, wf = timed(lambda: five_jit(X))
+            check_finite(wf)
+            extra["five_run10_ms"] = round(t_fv * 1e3, 1)
 
 
     try:

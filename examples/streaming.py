@@ -154,7 +154,7 @@ def _run_fused(args, mix, refs, hop):
     n = mix.shape[0]
     n_blocks = n // bs
     delay = args.nfft - hop
-    y = np.zeros((n_blocks * bs + delay, M))
+    y = np.zeros((n_blocks * bs, M))
     lat = []
     print(f"fused stream: {algo}, {n_blocks} blocks of {bs} samples "
           f"({bs / args.fs * 1000:.0f} ms audio each)")
@@ -163,8 +163,15 @@ def _run_fused(args, mix, refs, hop):
         t0 = time.perf_counter()
         out = sep.process(blk)
         lat.append(time.perf_counter() - t0)
-        # emitted samples are delayed by nfft - hop (OLA hold-back)
-        y[i * bs : i * bs + bs] = out
+        # emitted samples are delayed by nfft - hop (OLA hold-back):
+        # block i carries input samples [i*bs - delay, i*bs - delay + bs).
+        # Store them input-ALIGNED so the SIR scoring below compares like
+        # with like — storing at i*bs would leave a constant `delay` shift
+        # that bss_eval's 512-tap filter cannot absorb once
+        # nfft - hop >= 512 (the readout collapsed at --nfft 1024).
+        start = i * bs - delay
+        lo = max(start, 0)
+        y[lo : start + bs] = out[lo - start :]
         if i % 8 == 7:
             done = (i + 1) * bs - delay
             seg = slice(max(0, done - 2 * args.fs), max(1, done))
@@ -174,7 +181,7 @@ def _run_fused(args, mix, refs, hop):
                       f"last-2s SIR {np.round(sir, 1)} dB")
             except ValueError:
                 pass
-    y[n_blocks * bs :] = sep.flush()
+    y[n_blocks * bs - delay :] = sep.flush()
     warm = np.asarray(lat[2:])
     audio_s = n_blocks * bs / args.fs
     print(f"\nprocessed {audio_s:.1f}s in {sum(lat):.2f}s "

@@ -352,6 +352,12 @@ def overiva(
     cdtype = np.dtype(dtype or DEFAULT_DTYPE)
     if str(wcov) not in WCOV_MODES:
         raise ValueError(f"wcov must be one of {WCOV_MODES}, got {wcov!r}")
+    if str(wcov) == "bf16pack" and chunk_frames:
+        raise ValueError(
+            "wcov='bf16pack' has no chunked form (the packed kernel's "
+            "point is avoiding the weighted temporary) — drop "
+            "chunk_frames or use wcov='bf16'"
+        )
     if str(acc) not in ("f32", "f32x2"):
         raise ValueError(f"acc must be 'f32' or 'f32x2', got {acc!r}")
     if acc == "f32x2":
@@ -782,6 +788,11 @@ def tip(
         raise ValueError("need taps >= 0 and delay >= 1 when taps > 0")
     if str(wcov) not in WCOV_MODES:
         raise ValueError(f"wcov must be one of {WCOV_MODES}, got {wcov!r}")
+    if str(wcov) == "bf16pack":
+        raise ValueError(
+            "wcov='bf16pack' is untested on the tap-augmented (M(1+taps)-"
+            "dim) epochs — use wcov='bf16' for T-IP's MXU tier"
+        )
     cdtype = np.dtype(dtype or DEFAULT_DTYPE)
     if _joint_df_guard(acc, dtype, cdtype, wcov=wcov):
         return _joint_df_host(
@@ -2546,6 +2557,11 @@ def tip_batch(
         raise ValueError("need taps >= 0 and delay >= 1 when taps > 0")
     if str(wcov) not in WCOV_MODES:
         raise ValueError(f"wcov must be one of {WCOV_MODES}, got {wcov!r}")
+    if str(wcov) == "bf16pack":
+        raise ValueError(
+            "wcov='bf16pack' is untested on the tap-augmented (M(1+taps)-"
+            "dim) epochs — use wcov='bf16' for T-IP's MXU tier"
+        )
     Xd = _to_device(X, np.dtype(dtype or DEFAULT_DTYPE))
     re, im = _tip_batch_jit(
         Xd, N, taps, delay, int(n_iter), int(warm_iter), model,

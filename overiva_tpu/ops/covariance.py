@@ -75,6 +75,14 @@ def weighted_covariance_all(X, phi, wcov: str = "f32", chunk=None):
     faster than the dense contraction on a v5e (chunk 128; §2c table).
     """
     T = X.shape[0]
+    if wcov == "bf16pack" and chunk and chunk < T:
+        # the packed kernel exists to avoid the weighted HBM temporary
+        # entirely; a chunked form would re-pack X inside the scan and
+        # defeat its one-X-pass premise
+        raise ValueError(
+            "wcov='bf16pack' has no chunked form — drop chunk_frames or "
+            "use wcov='bf16'"
+        )
     if chunk and chunk < T:
         K = phi.shape[1]
         F, M = X.shape[1], X.shape[2]
@@ -144,6 +152,15 @@ def weighted_covariance_tf(X, w_tf, wcov: str = "f32"):
     same trade as :func:`weighted_covariance_all`.
     """
     T = X.shape[0]
+    if wcov == "bf16pack":
+        # the packed-MXU kernel only implements the per-source phi
+        # weighting of weighted_covariance_all; silently running exact
+        # f32 here would mislabel benchmark numbers
+        raise ValueError(
+            "wcov='bf16pack' is only available on the overiva/auxiva/ip2 "
+            "IP epoch path; use wcov='bf16' for the per-(t,f)-weighted "
+            "families"
+        )
     if wcov == "bf16":
         xr = X.real.astype(jnp.bfloat16)
         xi = X.imag.astype(jnp.bfloat16)
@@ -183,6 +200,11 @@ def weighted_covariance_chunked(X, phi, chunk: int = 256, wcov: str = "f32"):
     :func:`weighted_covariance_all`'s fast mode.
     """
     T, F, M = X.shape
+    if wcov == "bf16pack":
+        raise ValueError(
+            "wcov='bf16pack' has no chunked form — drop chunking or use "
+            "wcov='bf16'"
+        )
     if T % chunk != 0:
         pad = chunk - T % chunk
         X = jnp.concatenate([X, jnp.zeros((pad, F, M), X.dtype)], axis=0)

@@ -636,6 +636,11 @@ class Separator:
         )
         if params:  # kwargs outside the fused static surface -> host path
             return None
+        if cfg["branch"] == "tip" and cfg["wcov"] == "bf16pack":
+            raise ValueError(
+                "wcov='bf16pack' is untested on the tap-augmented epochs "
+                "— use wcov='bf16' for T-IP serving"
+            )
         return cfg
 
     @property
@@ -896,7 +901,11 @@ class Separator:
             if b not in done:
                 clip = rng.standard_normal((n, n_chan))
                 if dtype is not None and np.dtype(dtype) == np.int16:
-                    clip = (clip * 8192).astype(np.int16)
+                    # clip before casting: |z| >= 4 sigma would overflow
+                    # int16 (8192*4 = 32768), an undefined float->int cast
+                    clip = np.clip(
+                        np.round(clip * 8192), -32768, 32767
+                    ).astype(np.int16)
                 self.separate(clip)
                 done.add(b)
             if b >= top:

@@ -99,3 +99,28 @@ def test_bf16pack_quality_parity(rng):
         sirs[mode] = sir.mean()
     assert sirs["f32"] > 6.0, f"f32 baseline failed to separate: {sirs}"
     assert abs(sirs["bf16pack"] - sirs["f32"]) < 0.3, sirs
+
+
+def test_bf16pack_scope_guards(rng):
+    """bf16pack exists only where the packed kernel actually runs (the
+    M-dim IVA epoch path): the per-(t,f)-weighted families, the chunked
+    forms, and the tap-augmented T-IP epochs must REFUSE it instead of
+    silently running exact f32 under the bf16pack label (review finding,
+    round-5 continuation)."""
+    mix, _, _ = make_mixture(rng, n_src=2, n_mics=2, n_samples=8000)
+    X = stft_mixture(mix, 256)
+    with pytest.raises(ValueError, match="bf16pack"):
+        api.overiva(X, n_src=2, wcov="bf16pack", chunk_frames=16)
+    with pytest.raises(ValueError, match="bf16pack"):
+        api.ilrma(X, n_iter=2, wcov="bf16pack")
+    with pytest.raises(ValueError, match="bf16pack"):
+        api.fastmnmf2(X, n_src=2, n_iter=2, wcov="bf16pack")
+    with pytest.raises(ValueError, match="bf16pack"):
+        api.tip(X, n_src=2, taps=2, delay=1, n_iter=2, wcov="bf16pack")
+    with pytest.raises(ValueError, match="bf16pack"):
+        api.tip_batch(X[None], n_src=2, taps=2, delay=1, n_iter=2,
+                      wcov="bf16pack")
+    from overiva_tpu.serving import Separator
+
+    with pytest.raises(ValueError, match="bf16pack"):
+        Separator("tip", n_src=2, nfft=256, wcov="bf16pack")
